@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the sandbox (one JVM, N threads); on a real
+cluster every knob here is still correct — AQE, Arrow, and a
+shuffle-partition count sized by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osmgraft",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls local-mode parallelism (``local[cores]``); defaults to
+    ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle partitions default to the core
+    count — at cluster scale callers pass an explicit value sized to the
+    input (we rely on AQE coalescing to fix over-partitioning at runtime).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        shuffle_default = int(env) if env else 32
+    else:
+        master = f"local[{cores}]"
+        shuffle_default = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = shuffle_default
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,251 @@
+"""Span decode: interleaved documents -> typed POI/relation/way/node frames.
+
+The graft analogue of the reference's PBF scans S1-S4
+(/root/reference/src/input/osminputhelper.cpp:516-584, 277-359, 373-414,
+428-466). Tag extraction stays ENTIRELY in Catalyst (array filter/transform
++ ``map_from_entries`` — whole-stage codegen, pushdown-friendly); only the
+opaque geometry payloads cross into Python, as Arrow-batched kernels:
+
+- point blobs: fixed 17-byte layout, decoded with one ``np.frombuffer``
+  per batch (vectorized, no per-row parsing);
+- segment blobs: variable length, decoded per blob with numpy views
+  (bounded by the synth segment sizes; only ~10%% of documents are areas).
+
+Doc-kind routing uses the ``doc_id`` prefix (``node/ rel/ admin/``), a
+plain string predicate the optimizer can push into the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from osmgraft.sources import geoblob
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-side span handling
+# ---------------------------------------------------------------------------
+
+
+def _spans_sorted() -> Column:
+    """Spans ordered by offset (the per-row invariant key order)."""
+    return F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+
+
+def tags_expr() -> Column:
+    """tag spans -> map<string,string> (P2; key/value split on first '=')."""
+    entries = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("tag")),
+        lambda s: F.struct(
+            F.split_part(s["text"], F.lit("="), F.lit(1)).alias("key"),
+            F.regexp_replace(s["text"], F.lit("^[^=]*="), F.lit("")).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def with_tags(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tags", tags_expr())
+
+
+def doc_osm_id() -> Column:
+    return F.split_part(F.col("doc_id"), F.lit("/"), F.lit(2)).cast("long")
+
+
+def geom_refs(docs: DataFrame) -> DataFrame:
+    """(doc_id, ord, blob_id) — one row per media span, span order kept."""
+    refs = F.transform(
+        F.filter(_spans_sorted(), lambda s: s["kind"] == F.lit("geom")),
+        lambda s: F.replace(s["media_ref"], F.lit("geom://"), F.lit("")),
+    )
+    return docs.select("doc_id", F.posexplode(refs).alias("ord", "blob_id"))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched blob kernels
+# ---------------------------------------------------------------------------
+
+_POINT_SCHEMA = StructType(
+    [
+        StructField("blob_id", StringType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+    ]
+)
+
+
+def decode_points(blob_rows: DataFrame) -> DataFrame:
+    """blobs(blob_id, payload) with POINT payloads -> (blob_id, lat, lon).
+
+    Fixed-size layout => one frombuffer per Arrow batch (true vectorization).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).reshape(len(pdf), 17)
+            assert (raw[:, 0] == geoblob.KIND_POINT).all(), "non-point blob in point decode"
+            coords = raw[:, 1:].copy().view("<f8").reshape(len(pdf), 2)
+            yield pd.DataFrame(
+                {"blob_id": pdf["blob_id"], "lat": coords[:, 0], "lon": coords[:, 1]}
+            )
+
+    return blob_rows.select("blob_id", "payload").mapInPandas(kernel, schema=_POINT_SCHEMA)
+
+
+_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("blob_id", StringType()),
+        StructField("role", IntegerType()),
+        StructField("way_id", LongType()),
+        StructField("node_ids", ArrayType(LongType())),
+        StructField("lats", ArrayType(DoubleType())),
+        StructField("lons", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_segments(blob_rows: DataFrame) -> DataFrame:
+    """blobs with SEGMENT payloads -> way rows with coordinate arrays."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("blob_id", "role", "way_id", "node_ids", "lats", "lons")}
+            for bid, payload in zip(pdf["blob_id"], pdf["payload"]):
+                d = geoblob.unpack(bytes(payload))
+                if d["kind"] != geoblob.KIND_SEGMENT:
+                    continue
+                out["blob_id"].append(bid)
+                out["role"].append(int(d["role"]))
+                out["way_id"].append(int(d["way_id"]))
+                out["node_ids"].append(d["node_ids"])
+                out["lats"].append(d["lats"])
+                out["lons"].append(d["lons"])
+            yield pd.DataFrame(out)
+
+    return blob_rows.select("blob_id", "payload").mapInPandas(kernel, schema=_SEGMENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame assembly
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DecodedFrames:
+    node_pois: DataFrame  # osm_id, lat, lon, tags
+    relations: DataFrame  # rel_id, tags, outer, inner  (unknown-role dropped)
+    ways: DataFrame       # way_id, node_ids
+    nodes: DataFrame      # node_id, lat, lon
+    polygons: DataFrame   # poly_id, name, ring_lats, ring_lons
+    segments: DataFrame | None = None  # way_id, node_ids, lats, lons (decoded)
+
+
+def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
+    """Full decode. Blob decodes are demand-driven: only blobs referenced by
+    surviving documents are read (left-semi join = the reference's
+    requested-id passes J1/J2, osminputhelper.cpp:604-631)."""
+    node_docs = docs.where(F.col("doc_id").startswith("node/"))
+    rel_docs = docs.where(F.col("doc_id").startswith("rel/"))
+    admin_docs = docs.where(F.col("doc_id").startswith("admin/"))
+
+    # --- node POIs -----------------------------------------------------
+    node_tagged = with_tags(node_docs).select(
+        doc_osm_id().alias("osm_id"), F.col("doc_id"), "tags"
+    )
+    node_refs = geom_refs(node_docs)
+    node_blobs = blobs.join(node_refs.select("blob_id"), "blob_id", "leftsemi")
+    node_pts = decode_points(node_blobs)
+    node_pois = (
+        node_refs.join(node_pts, "blob_id")
+        .select("doc_id", "lat", "lon")
+        .join(node_tagged, "doc_id")
+        .select("osm_id", "lat", "lon", "tags")
+    )
+
+    # --- relations + ways + nodes ---------------------------------------
+    rel_refs = geom_refs(rel_docs).withColumn(
+        "rel_id", F.split_part(F.col("doc_id"), F.lit("/"), F.lit(2)).cast("long")
+    )
+    seg_blobs = blobs.join(rel_refs.select("blob_id"), "blob_id", "leftsemi")
+    segs = decode_segments(seg_blobs)
+
+    # member resolution: LEFT join so dangling refs surface as NULL way_id
+    members = rel_refs.join(segs.select("blob_id", "role", "way_id"), "blob_id", "left")
+    rel_grouped = (
+        members.groupBy("rel_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("role") == geoblob.ROLE_OUTER, F.struct("ord", "way_id"))
+                )
+            ).alias("_outer"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("role") == geoblob.ROLE_INNER, F.struct("ord", "way_id"))
+                )
+            ).alias("_inner"),
+            F.max((F.col("role") == geoblob.ROLE_UNKNOWN).cast("int")).alias("_has_unknown"),
+            F.max(F.col("way_id").isNull().cast("int")).alias("_has_missing"),
+        )
+        # unknown member role => relation ignored (osminputhelper.cpp:328-337)
+        .where(F.col("_has_unknown") == 0)
+        .select(
+            "rel_id",
+            F.transform("_outer", lambda s: s["way_id"]).alias("outer"),
+            F.transform("_inner", lambda s: s["way_id"]).alias("inner"),
+            (F.col("_has_missing") == 1).alias("has_missing"),
+        )
+    )
+    rel_tags = with_tags(rel_docs).select(doc_osm_id().alias("rel_id"), "tags")
+    relations = rel_grouped.join(rel_tags, "rel_id")
+
+    ways = segs.select("way_id", "node_ids")
+    nodes = (
+        segs.select(F.arrays_zip("node_ids", "lats", "lons").alias("z"))
+        .select(F.explode("z").alias("n"))
+        .select(
+            F.col("n.node_ids").alias("node_id"),
+            F.col("n.lats").alias("lat"),
+            F.col("n.lons").alias("lon"),
+        )
+        .dropDuplicates(["node_id"])
+    )
+
+    # --- admin polygons --------------------------------------------------
+    admin_refs = geom_refs(admin_docs)
+    admin_blobs = blobs.join(admin_refs.select("blob_id"), "blob_id", "leftsemi")
+    admin_segs = decode_segments(admin_blobs)
+    admin_tags = with_tags(admin_docs).select(
+        doc_osm_id().alias("poly_id"),
+        F.col("doc_id"),
+        F.element_at("tags", "name").alias("name"),
+    )
+    polygons = (
+        admin_refs.join(admin_segs, "blob_id")
+        .join(admin_tags, "doc_id")
+        .select(
+            "poly_id",
+            "name",
+            F.col("lats").alias("ring_lats"),
+            F.col("lons").alias("ring_lons"),
+        )
+    )
+
+    return DecodedFrames(node_pois, relations, ways, nodes, polygons, segments=segs)

@@ -1,0 +1,125 @@
+"""L2-L6 label kernel golden tests (labelhelper.cpp:102-269 semantics with
+the pinned deterministic metrics table)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from osmgraft.functions.fontmetrics import DEFAULT_METRICS as M
+from osmgraft.functions.labels import (
+    compute_label_ball,
+    compute_label_split,
+    split_sizes,
+)
+from osmgraft.sources.config import default_config
+
+CFG = default_config()
+DELIMS = CFG.split_chars  # {' ', '-', '/'}
+SPLIT_PX = CFG.split_bound * M.mean_letter_width  # 15 * 10 = 150
+
+
+def test_width_basics():
+    assert M.text_width("") == 0
+    assert M.text_width("i") == 5
+    assert M.text_width("m") == 16
+    assert M.text_width("A") == 12
+    # kerning applies pairwise
+    assert M.text_width("AV") == 12 + 12 - 2
+    assert M.text_width("VAV") == 12 + 12 - 2 + 12 - 2
+
+
+def test_short_label_unsplit():
+    label, radius = compute_label_ball("Bonn", "", 2, CFG.split_bound, DELIMS)
+    assert label == "Bonn"
+    w = M.text_width("Bonn")
+    assert radius == float((w // 2) * 2)  # max(w,-1)//2 * factor 2
+
+
+def test_icon_label():
+    label, radius = compute_label_ball("anything", "school", 8, CFG.split_bound, DELIMS)
+    assert label == "icon:school"
+    assert radius == 10.0 * 8
+
+
+def test_split_at_delimiter_near_median():
+    name = "Oberhausen Unterhausen"  # width > 150 -> split at the space
+    assert M.text_width(name) > SPLIT_PX
+    out = compute_label_split(name, DELIMS)
+    assert out == "Oberhausen\nUnterhausen"
+    w1, w2 = split_sizes(out)
+    assert w1 == M.text_width("Oberhausen")
+    assert w2 == M.text_width("Unterhausen")
+
+
+def test_no_delimiter_unsplit():
+    name = "Donaudampfschifffahrtsgesellschaft"
+    assert M.text_width(name) > SPLIT_PX
+    assert compute_label_split(name, DELIMS) == name
+
+
+def test_embedded_newline_takes_priority():
+    # embedded CR -> normalized to '\n' -> recursive split at the newline
+    name = "Morgenheim\rWinterhausen Extra"
+    out = compute_label_split(name, DELIMS)
+    assert out == "Morgenheim\nWinterhausen Extra"
+
+
+def test_trailing_newline_stripped():
+    name = "Sonnenberg Winterstadt Morgental\n"
+    out = compute_label_split(name, DELIMS)
+    assert "\n" in out
+    l1, l2 = out.split("\n")
+    assert "\n" not in l1 + l2  # the trailing newline did not survive
+
+
+def test_choose_min_max_width_split():
+    # two candidate delimiters around the median; the one minimizing
+    # max(line1, line2) wins; ties prefer the right-side candidate (C++
+    # strict '<' comparison, labelhelper.cpp:255-259)
+    name = "aa-aaaaaaaaaaaaaaaa-aa"
+    out = compute_label_split(name, DELIMS)
+    assert out.count("\n") == 1
+    l1, l2 = out.split("\n")
+    alt = [
+        max(M.text_width(a), M.text_width(b))
+        for a, b in [(name[:i + 1].strip(" -"), name[i + 1:].strip(" -")) for i in (2, 19)]
+    ]
+    assert max(M.text_width(l1), M.text_width(l2)) == min(alt)
+
+
+def test_radius_integer_division():
+    # radius uses C++ int division: max(w1,w2)/2 with ints
+    name = "Bad See"  # stays unsplit (below bound)
+    label, radius = compute_label_ball(name, "", 1, CFG.split_bound, DELIMS)
+    w = M.text_width(name)
+    assert radius == float(w // 2)
+
+
+def test_attach_label_ball_spark(spark):
+    from osmgraft.functions.labels import attach_label_ball
+
+    rows = [
+        ("Bonn", "", 2),
+        ("Oberhausen Unterhausen", "", 3),
+        ("x", "school", 8),
+    ]
+    df = spark.createDataFrame(rows, "name string, icon string, factor int")
+    out = {r["name"]: (r["label"], r["radius"]) for r in attach_label_ball(df, CFG).collect()}
+    for name, icon, factor in rows:
+        exp = compute_label_ball(name, icon, factor, CFG.split_bound, DELIMS)
+        assert out[name] == exp
+
+
+def test_format_complete_row(spark):
+    from osmgraft.plans.pipeline import format_complete
+
+    df = spark.createDataFrame(
+        [(48.7758, 9.1829, 16, 5, 130.0004, 42, "Stutt\ngart", 30.0)],
+        "lat double, lon double, level_id long, rank long, radius double, osm_id long, label string, factor double",
+    )
+    line = format_complete(df).collect()[0]["line"]
+    # %.17f coords, rank (not level), radius ceiled to 3 decimals, quoted
+    # label with \n escaped, factor %.3f (textoutputhelper.cpp:83-101)
+    assert line == "48.77580000000000000 9.18290000000000000 5 130.001 42 'Stutt\\ngart' 30.000"
+    line_eh = format_complete(df, export_hierarchy=True).collect()[0]["line"]
+    assert line_eh.split(" ")[2] == "16"
