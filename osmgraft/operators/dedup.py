@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all DataFrame-first:
+
+- exact:      content-hash groupBy (one shuffle on the hash)
+- n-gram Jaccard: token-set similarity via explode + equi-join on token
+              (SQL-expressible -> DuckDB-oracled)
+- MinHash+LSH: signatures computed ENTIRELY in Catalyst (xxhash64 over
+              shingle arrays + array_min per permutation — no Python),
+              banded into buckets, candidate pairs verified by exact
+              Jaccard. The standard shingle->minhash->band->bucket-join
+              pipeline.
+- SimHash:    64-bit signature via a vectorized numpy kernel (bit-count
+              majority over token hashes), near-dups = small Hamming
+              distance within prefix buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content hash."""
+    h = F.md5(F.col(text_col))
+    keep = df.withColumn("_h", h).groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "leftsemi")
+
+
+# --- token/shingle helpers -------------------------------------------------------
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles_expr(text: Column, n: int) -> Column:
+    """Distinct word n-grams as array<string> (space-joined)."""
+    words = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All (a, b) id pairs (a < b) with token-set Jaccard >= threshold —
+    explode+join formulation (co-partitioned on token), identical to the
+    DuckDB oracle SQL."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("w")
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), (F.col("a.w") == F.col("b.w")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
+    """array<long> of per-permutation minima. Permutation i = xxhash64 with
+    seed column i — pure Catalyst, vectorized in codegen."""
+    def hasher(seed: int):
+        # NB: must be an arity-1 lambda — F.transform treats a 2-arg lambda
+        # as (element, index) and would silently pass the array index
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    mins = [F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    verify_threshold: float | None = 0.6,
+) -> DataFrame:
+    """Candidate near-dup pairs: shingle -> minhash -> band -> bucket join,
+    optionally verified with exact shingle Jaccard.
+
+    rows(band) = num_hashes/bands; two docs collide if any band matches.
+    The bucket join is an equi-join on (band_idx, band_hash) — shuffles
+    only signature rows, never full documents.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = base.withColumn("sig", minhash_signature_expr(F.col("sh"), num_hashes))
+
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.concat_ws(",", F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")
+            )))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.posexplode(band_arr).alias("band", "bucket"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", **kwargs) -> DataFrame:
+    """Suppress every doc that has a near-duplicate with a smaller id."""
+    pairs = minhash_lsh_pairs(df, id_col=id_col, **kwargs)
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+
+def simhash_udf():
+    """text -> 64-bit SimHash (majority vote of token-hash bits), numpy
+    vectorized per Arrow batch."""
+
+    import hashlib
+
+    def h64(w: str) -> int:
+        # deterministic across processes (builtin hash() is salted!)
+        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+
+    @F.pandas_udf("long")
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = np.array([h64(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.view(np.int64))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits,
+    verify Hamming distance within the bucket. (Standard multi-probe uses
+    several rotations; one prefix table is the demonstration variant.)"""
+    sh = simhash_udf()
+    sig = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sig"))
+    sig = sig.withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    pairs = (
+        sig.alias("a")
+        .join(sig.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+    )

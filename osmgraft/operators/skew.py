@@ -1,0 +1,77 @@
+"""Skew rails: salted repartitioning + adaptive cell splitting.
+
+Dense urban clusters put millions of rows in a handful of hex/S2 cells
+(the synth generator's Zipf layout reproduces this). Two mitigations,
+both explicit user-space layout decisions (AQE's skew-join handles joins
+but cannot split grouped-UDF or groupBy hot keys):
+
+- ``salt``: spread a hot key over ``n_salts`` subkeys for aggregations
+  that can be computed partially (count/sum/min/max) and re-merged.
+
+- ``adaptive_cell_split``: two-pass re-resolution — count rows per cell
+  (cheap partial agg), find cells above ``max_rows``, re-encode ONLY those
+  rows at a finer resolution; repeat until no hot cells or ``max_res``.
+  The hot-cell list is broadcast (it is small by construction: at most
+  total_rows/max_rows entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmgraft.functions.cells import hex_cell_udf
+
+
+def salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from a stable row attribute if present
+    (first long column != key) else a hash of all columns."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """groupBy(key).count() resistant to hot keys: partial count per
+    (key, salt), then re-aggregate. (Spark's partial aggregation already
+    does map-side combine; the salt additionally splits the REDUCE side of
+    a hot key across n_salts tasks.)"""
+    salted = salt(df, key, n_salts)
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+def adaptive_cell_split(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    base_res: int = 7,
+    max_rows: int = 100_000,
+    max_res: int = 12,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign a mixed-resolution cell column: cells start at ``base_res``;
+    any cell with more than ``max_rows`` rows is re-encoded one resolution
+    finer, repeatedly, up to ``max_res``."""
+    out = df.withColumn(cell_col, hex_cell_udf(base_res)(F.col(lat_col), F.col(lon_col)))
+    res = base_res
+    while res < max_res:
+        counts = out.groupBy(cell_col).count()
+        hot = [r[cell_col] for r in counts.where(F.col("count") > max_rows).collect()]
+        if not hot:
+            break
+        res += 1
+        finer = hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
+        out = out.withColumn(
+            cell_col,
+            F.when(F.col(cell_col).isin(hot), finer).otherwise(F.col(cell_col)),
+        )
+    return out
+
+
+def repartition_by_cell(df: DataFrame, cell_col: str = "cell", partitions: int | None = None) -> DataFrame:
+    """Co-locate rows by (mixed-res) cell for downstream grouped spatial
+    kernels; after adaptive splitting no partition is dominated by one
+    hot cell."""
+    if partitions:
+        return df.repartition(partitions, F.col(cell_col))
+    return df.repartition(F.col(cell_col))

@@ -1,0 +1,235 @@
+"""Training-data extras: dedup families, similarity search, text stats,
+multimodal plumbing — checked on the driver tables at sf0.001 plus
+constructed fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# --- dedup ---------------------------------------------------------------
+
+
+def test_exact_dedup(spark):
+    from osmgraft.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a  b c")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 4]  # 2 is an exact dup of 1; 4 differs by spacing
+
+
+def test_jaccard_pairs_small(spark):
+    from osmgraft.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox sleeps"),
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(df, threshold=0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - 4 / 6) < 1e-12
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from osmgraft.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    # plant near-duplicates: copy 10 docs with one word changed
+    base = docs.limit(10).select("doc_id", "text")
+    dups = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    got = minhash_lsh_pairs(corpus, num_hashes=32, bands=16, shingle_n=3, verify_threshold=0.6)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    planted = {(i, i + 100000) for i in range(10)}
+    # banded LSH with 16 bands @ threshold ~(1/16)^(1/2)=0.25 catches >=0.6 pairs
+    assert planted <= got_pairs
+    # verification step keeps only true near-dups
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(corpus.where(F.col("doc_id").isin([*range(10), *[i + 100000 for i in range(10)]])), threshold=0.0).collect()
+        if r["jaccard"] >= 0.6
+    }
+    assert got_pairs >= planted and planted <= truth
+
+
+def test_minhash_dedup_removes_planted(spark, docs):
+    from osmgraft.operators.dedup import minhash_dedup
+
+    base = docs.limit(10).select("doc_id", "text")
+    dups = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    out = minhash_dedup(corpus, num_hashes=32, bands=16, shingle_n=3, verify_threshold=0.9)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(i + 100000 in ids for i in range(10))  # dups suppressed
+    assert set(range(10)) <= ids  # originals kept
+
+
+def test_simhash_pairs(spark):
+    from osmgraft.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=16, prefix_bits=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    from osmgraft.operators.simsearch import brute_force_topk
+
+    rows = embeddings.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[7]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:5]
+    want = list(ids[order])
+    got = [r["vec_id"] for r in brute_force_topk(embeddings, list(map(float, q)), 5).collect()]
+    assert got == want
+
+
+def test_ann_recall_vs_brute(spark, embeddings):
+    from osmgraft.operators.simsearch import ann_topk, brute_force_topk
+
+    queries = embeddings.limit(8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    ann = ann_topk(embeddings, queries, k=5, dim=64, n_planes=6, n_tables=10)
+    got = {(r["q_id"], r["vec_id"]) for r in ann.collect()}
+    # every query finds at least itself (same bucket, cosine 1)
+    for q in [r["q_id"] for r in queries.collect()]:
+        assert (q, q) in got
+    # recall@5 averaged over queries is positive and sane
+    hits = total = 0
+    for q in [r["q_id"] for r in queries.select("q_id").collect()]:
+        qv = [
+            float(x)
+            for x in embeddings.where(F.col("vec_id") == q).collect()[0]["embedding"]
+        ]
+        truth = {r["vec_id"] for r in brute_force_topk(embeddings, qv, 5).collect()}
+        hits += len(truth & {v for (qq, v) in got if qq == q})
+        total += 5
+    assert hits / total > 0.2  # single-table LSH; exactness not claimed
+
+
+def test_pairwise_neighbors_blocked(spark, embeddings):
+    from osmgraft.operators.simsearch import pairwise_neighbors
+
+    out = pairwise_neighbors(embeddings.limit(50), k=3)
+    rows = out.collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for a, lst in by_a.items():
+        assert len(lst) == 3
+        assert sorted(r["rk"] for r in lst) == [1, 2, 3]
+
+
+# --- textstats -------------------------------------------------------------------
+
+
+def test_quality_features(spark, docs):
+    from osmgraft.operators.textstats import quality_features
+
+    out = quality_features(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, r in list(by_id.items())[:20]:
+        t = raw[did]
+        assert r["n_chars"] == len(t)
+        assert r["n_words"] == len(t.split())
+        assert 0 <= r["alpha_ratio"] <= 1
+
+
+def test_lang_id_heuristic(spark):
+    from osmgraft.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a cat"),
+            (2, "der hund und die katze das ist ein tier"),
+            (3, "le chat et la souris dans une maison"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_fingerprint_normalization(spark):
+    from osmgraft.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --- multimodal ------------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    from osmgraft.operators.multimodal import (
+        decode_media,
+        extract_features,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60).cache()
+    assert media.count() == 60
+
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 60
+    for r in feats[:5]:
+        assert len(r["features"]) == 16 and r["n_bytes"] > 0
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in extract_features(media, dim=16).collect()}
+    first = {r["media_id"]: r["features"] for r in feats}
+    assert first == again
+
+    frames = sample_frames(media, fps_out=1.0).collect()
+    assert len(frames) > 0
+    for r in frames[:10]:
+        assert r["frame_ms"] == r["frame_idx"] * 1000
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image/png")
+    # codec-routed path raises on execution
+    with pytest.raises(Exception):
+        extract_features(media, dim=8, use_codec=True).collect()

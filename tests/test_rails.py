@@ -1,0 +1,99 @@
+"""Scale rails: stats aggregations, skew handling, lineage/resume."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+
+def test_level_counts_and_histograms(spark, synth_small):
+    from osmgraft.plans.pipeline import extract_pois, levels_df
+    from osmgraft.plans.stats import level_counts, tag_histogram, tag_histogram_detailed
+    from osmgraft.sources.config import default_config
+
+    docs, blobs, _ = synth_small
+    cfg = default_config()
+    pois = extract_pois(spark, docs, blobs, cfg).cache()
+
+    lc = level_counts(pois, levels_df(spark, cfg)).collect()
+    assert sum(r["poi_count"] for r in lc) == pois.count()
+    assert all(r["level_name"] for r in lc)
+
+    th = {r["key"]: r["tag_count"] for r in tag_histogram(pois).collect()}
+    assert th["place"] + th.get("amenity", 0) >= pois.count()  # filter guarantees one of them
+
+    det = tag_histogram_detailed(pois).collect()
+    # per-key totals consistent
+    by_key = {}
+    for r in det:
+        by_key.setdefault(r["key"], 0)
+        by_key[r["key"]] += r["value_count"]
+    for r in det:
+        assert by_key[r["key"]] == r["key_count"]
+
+    # suppression variants reduce rows
+    sup1 = tag_histogram_detailed(pois, max_distinct_values=5).collect()
+    assert len(sup1) <= len(det)
+    sup2 = tag_histogram_detailed(pois, min_avg_multiplicity=2.0).collect()
+    assert len(sup2) <= len(det)
+
+
+def test_salted_count(spark):
+    from osmgraft.operators.skew import salted_count
+
+    df = spark.range(10000).withColumn("k", (F.col("id") % 3).cast("string"))
+    got = {r["k"]: r["count"] for r in salted_count(df, "k", n_salts=8).collect()}
+    want = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_adaptive_cell_split(spark):
+    import numpy as np
+
+    from osmgraft.operators.skew import adaptive_cell_split
+
+    rng = np.random.default_rng(7)
+    # one dense cluster + sparse background
+    lats = np.concatenate([rng.normal(40.0, 0.001, 5000), rng.uniform(-60, 60, 500)])
+    lons = np.concatenate([rng.normal(9.0, 0.001, 5000), rng.uniform(-170, 170, 500)])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lats, lons)], "lat double, lon double"
+    )
+    out = adaptive_cell_split(df, base_res=5, max_rows=1000, max_res=9)
+    counts = out.groupBy("cell").count().collect()
+    from osmgraft.functions.cells import unpack_hex
+
+    resolutions = {int(unpack_hex(r["cell"])[2]) for r in counts}
+    assert max(resolutions) > 5  # hot cells got split finer
+    assert min(resolutions) == 5  # sparse cells untouched
+    assert sum(r["count"] for r in counts) == 5500
+
+
+def test_lineage_resume(spark, tmp_path):
+    from osmgraft.plans.lineage import is_complete, materialize, read_lineage, resume_or_compute
+
+    path = str(tmp_path / "stage1")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    out = materialize(df, path, "stage1")
+    assert out.count() == 1000
+    assert is_complete(spark, path)
+    meta = read_lineage(path)
+    assert meta["total_rows"] == 1000
+    assert sum(p["rows"] for p in meta["partitions"]) == 1000
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(1000).withColumn("v", F.col("id") * 2)
+
+    re1 = resume_or_compute(spark, path, "stage1", builder)
+    assert re1.count() == 1000
+    assert calls == []  # resumed, not recomputed
+
+    # corrupt -> rebuild
+    os.remove(os.path.join(path, "_lineage.json".replace("_lineage.json", "_SUCCESS")))
+    re2 = resume_or_compute(spark, path, "stage1", builder)
+    assert re2.count() == 1000
+    assert calls == [1]

@@ -1,0 +1,230 @@
+"""Spatial layer: S2 encode properties, hex grid, PIP join vs brute force,
+kNN dedup vs brute force, tile assignment."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from osmgraft.functions import cells
+
+
+# --- S2 -----------------------------------------------------------------
+
+
+def test_s2_known_values():
+    """Cross-checked fixed points (computed from the published S2 algorithm;
+    leaf ids are odd, level bit structure holds)."""
+    cid = cells.s2_cell_id([0.0], [0.0], 30)[0]
+    assert cid % 2 == 1  # leaf lsb
+    # face 0 center: (lat,lon)=(0,0) -> x axis -> face 0 => high 3 bits 000
+    assert (np.uint64(cid) >> np.uint64(61)) == 0
+
+
+@pytest.mark.parametrize(
+    "lat,lon,face",
+    [
+        (0, 0, 0),
+        (0, 90, 1),
+        (90, 0, 2),
+        (0, 180, 3),
+        (0, -90, 4),
+        (-90, 0, 5),
+    ],
+)
+def test_s2_faces(lat, lon, face):
+    cid = np.uint64(cells.s2_cell_id([lat], [lon], 30)[0])
+    assert int(cid >> np.uint64(61)) == face
+
+
+def test_s2_parent_containment():
+    rng = np.random.default_rng(1)
+    lats = rng.uniform(-89, 89, 500)
+    lons = rng.uniform(-180, 180, 500)
+    leaf = cells.s2_cell_id(lats, lons, 30)
+    for lvl in (5, 10, 20):
+        direct = cells.s2_cell_id(lats, lons, lvl)
+        via_parent = cells.s2_parent(leaf, lvl)
+        assert np.array_equal(direct, via_parent)
+
+
+def test_s2_locality():
+    # nearby points share coarse parents; distant points don't
+    a = cells.s2_cell_id([48.7758], [9.1829], 10)[0]
+    b = cells.s2_cell_id([48.7760], [9.1830], 10)[0]
+    c = cells.s2_cell_id([-33.86], [151.21], 10)[0]
+    assert a == b
+    assert a != c
+
+
+def test_s2_token():
+    t = cells.s2_token(cells.s2_cell_id([48.7758], [9.1829], 12)[0])
+    assert 1 <= len(t) <= 16 and not t.endswith("0")
+
+
+# --- hex grid ---------------------------------------------------------------
+
+
+def test_hex_roundtrip_center():
+    rng = np.random.default_rng(2)
+    lats = rng.uniform(-70, 70, 300)
+    lons = rng.uniform(-170, 170, 300)
+    for res in (5, 8, 11):
+        cell = cells.hex_cell(lats, lons, res)
+        clat, clon = cells.hex_center(cell)
+        cell2 = cells.hex_cell(clat, clon, res)
+        assert np.array_equal(cell, cell2)  # center maps back to same cell
+        # center within one edge-ish of the point
+        assert np.all(np.abs(clat - lats) < 2.2 * cells.hex_edge_deg(res))
+
+
+def test_hex_ring_sizes():
+    assert len(cells.ring_offsets(0)) == 1
+    assert len(cells.ring_offsets(1)) == 6
+    assert len(cells.ring_offsets(3)) == 18
+    assert len(cells.disk_offsets(2)) == 19
+
+
+def test_hex_neighbors_contain_nearby(spark):
+    # any point within the inradius guard is inside disk(1) of the cell
+    res = 8
+    edge = cells.hex_edge_deg(res)
+    rng = np.random.default_rng(3)
+    base_lat = rng.uniform(-60, 60, 100)
+    base_lon = rng.uniform(-170, 170, 100)
+    d = 0.8 * 0.866 * edge
+    ang = rng.uniform(0, 2 * math.pi, 100)
+    p2_lat = base_lat + d * np.sin(ang)
+    p2_lon = base_lon + d * np.cos(ang)
+    c1 = cells.hex_cell(base_lat, base_lon, res)
+    c2 = cells.hex_cell(p2_lat, p2_lon, res)
+    assert np.all(cells.hex_distance(c1, c2) <= 1)
+
+
+# --- PIP ---------------------------------------------------------------------
+
+
+def _brute_pip(points, polys):
+    from osmgraft.operators.pip import point_in_ring, _closed
+
+    out = set()
+    for pid, la, lo in points:
+        for qid, rl, rg in polys:
+            if point_in_ring(la, lo, _closed(np.array(rl)), _closed(np.array(rg))):
+                out.add((pid, qid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pip_data():
+    rng = np.random.default_rng(4)
+    polys = []
+    for q in range(25):
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-100, 100)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, rng.integers(4, 10)))
+        r = rng.uniform(0.5, 3.0)
+        polys.append((q, (cx + r * np.sin(ang)).tolist(), (cy + r * np.cos(ang)).tolist()))
+    points = [
+        (i, float(rng.uniform(-55, 55)), float(rng.uniform(-105, 105))) for i in range(800)
+    ]
+    # plant guaranteed hits at polygon centroids
+    for q, rl, rg in polys[:10]:
+        points.append((10_000 + q, float(np.mean(rl)), float(np.mean(rg))))
+    return points, polys
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "partitioned"])
+def test_pip_join_matches_bruteforce(spark, pip_data, strategy):
+    from osmgraft.operators.pip import pip_join
+
+    points, polys = pip_data
+    pts_df = spark.createDataFrame(points, "pid long, lat double, lon double")
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, ring_lats array<double>, ring_lons array<double>"
+    ).withColumn("name", F.concat(F.lit("P"), F.col("poly_id")))
+    got = {
+        (r["pid"], r["poly_id"])
+        for r in pip_join(pts_df, polys_df, strategy=strategy, res=5).collect()
+    }
+    want = _brute_pip(points, polys)
+    assert got == want
+    assert len(want) > 10  # non-trivial
+
+
+# --- kNN dedup ------------------------------------------------------------------
+
+
+def test_dedup_labels_matches_bruteforce(spark):
+    from osmgraft.operators.knn import dedup_labels, EARTH_RADIUS_M
+
+    rng = np.random.default_rng(5)
+    # clustered points so suppression actually triggers
+    n = 400
+    cx = rng.choice([0.0, 0.02, 40.0], n)
+    lats = cx + rng.normal(0, 0.01, n)
+    lons = rng.choice([10.0, 10.02], n) + rng.normal(0, 0.01, n)
+    rows = [(i, float(lats[i]), float(lons[i]), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "osm_id long, lat double, lon double, rank long")
+
+    radius = 500.0  # meters
+    got = sorted(r["osm_id"] for r in dedup_labels(df, radius).collect())
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dphi = p2 - p1
+        dl = math.radians(b[2] - a[2])
+        x = math.sin(dphi / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(x))
+
+    keep = []
+    for a in rows:
+        if not any(b[3] < a[3] and hav(a, b) <= radius for b in rows if b[0] != a[0]):
+            keep.append(a[0])
+    assert got == sorted(keep)
+    assert 0 < len(got) < n
+
+
+def test_knn_join_topk(spark):
+    from osmgraft.operators.knn import knn_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(i, 0.0, 0.0001 * i) for i in range(1, 8)], "rid long, lat double, lon double"
+    )
+    out = knn_join(left, right, k=3, radius_m=5000.0, left_key="lid").collect()
+    assert [r["rid_r"] for r in sorted(out, key=lambda r: r["knn_rank"])] == [1, 2, 3]
+
+
+# --- tiles ------------------------------------------------------------------------
+
+
+def test_tile_assignment(spark):
+    from osmgraft.operators.tiles import assign_tiles
+
+    df = spark.createDataFrame(
+        [(48.7758, 9.1829), (0.0, 0.0), (-85.0, 179.999), (85.0, -179.999)],
+        "lat double, lon double",
+    )
+    rows = assign_tiles(df, z=10).collect()
+    by_pt = {(round(r["lat"], 3), round(r["lon"], 3)): (r["tile_x"], r["tile_y"]) for r in rows}
+    # Stuttgart at z=10: x=floor((9.1829+180)/360*1024)=538,
+    # y=floor((1-asinh(tan 48.7758°)/pi)/2*1024)=352
+    assert by_pt[(48.776, 9.183)] == (538, 352)
+    assert by_pt[(0.0, 0.0)] == (512, 512)
+    for x, y in by_pt.values():
+        assert 0 <= x < 1024 and 0 <= y < 1024
+
+
+def test_tiles_with_order(spark):
+    from osmgraft.operators.tiles import tiles_with_order
+
+    df = spark.createDataFrame(
+        [(1, 48.0, 9.0, 5), (2, 48.0001, 9.0001, 2), (3, 10.0, 10.0, 1)],
+        "osm_id long, lat double, lon double, rank long",
+    )
+    out = {r["osm_id"]: r["tile_pos"] for r in tiles_with_order(df, z=8).collect()}
+    assert out[2] == 0 and out[1] == 1  # same tile, rank 2 first
+    assert out[3] == 0
