@@ -1,38 +1,653 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the osmgraft PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship OSM label pipeline (the reference's ``main``)
+on the engine's native interleaved-span documents, synthesized
+deterministically at sf0.001-ish scale (the driver's testdata has no span
+table; the generator is seed-fixed, SURVEY.md §7.1).
+
+``queries``/``oracle_sql`` cover every operator class from SURVEY.md §2:
+SQL-expressible operators run over the driver's sf tables and are
+value-checked against DuckDB; engine-native operators (span decode,
+polygon assembly, label UDF, cell encode, LSH) are included as rows-only
+checks (documented — no ANSI-SQL equivalent exists for them).
+
+Float-producing oracled queries round to >=4 decimals on BOTH sides so
+JVM-vs-DuckDB last-bit arithmetic differences cannot flip the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+SEED = 42
+
+# level ids for the default config (pinned by tests/test_classify.py):
+# MEGA_CITY=16 LARGE_CITY=15 CITY=14 SMALL_CITY=13 LARGE_TOWN=12 TOWN=11
+# SMALL_TOWN=10 VILLAGE=9 SUBURB=8 HAMLET=7 SCHOOL=6 UNIVERSITY=5
+# LIBRARY=4 HOSPITAL=3 CAFE=2 SMALL_VENUE=1
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_docs(spark: SparkSession, n_docs: int = 1200):
+    from osmgraft.sources.synth import SynthParams, synth_blobs, synth_documents
+
+    p = SynthParams(n_docs=n_docs, seed=SEED)
+    return synth_documents(spark, p, partitions=8), synth_blobs(spark, p, partitions=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs -> decode -> classify -> areas -> rank ->
+    label balls -> slippy tiles. Returns the labeled, tiled frame."""
+    from osmgraft.operators.tiles import assign_tiles
+    from osmgraft.plans.pipeline import label_pipeline
+
+    docs, blobs = _synth_docs(spark)
+    labels = label_pipeline(spark, docs, blobs)
+    return assign_tiles(labels, z=10)
+
+
+# ---------------------------------------------------------------------------
+# shared synthetic-point derivation (identical formula in Spark + SQL)
+# ---------------------------------------------------------------------------
+
+_PTS_SQL = (
+    "select c_custkey as pid, (c_acctbal % 120.0)/2.0 as lat, "
+    "(cast(c_custkey * 37 % 360 as double)) - 180.0 as lon, "
+    "c_nationkey as grp from customer"
+)
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_acctbal") % 120.0) / 2.0).alias("lat"),
+        ((F.col("c_custkey") * 37 % 360).cast("double") - 180.0).alias("lon"),
+        F.col("c_nationkey").alias("grp"),
+    )
+
+
+_TAGS_SQL_SRC = (
+    "select c_custkey, "
+    "case c_custkey % 5 when 0 then 'city' when 1 then 'town' when 2 then 'village' "
+    "when 3 then 'hamlet' else 'suburb' end as place, "
+    "cast(floor(abs(c_acctbal) * 1000) as bigint) as pop from customer"
+)
+
+
+def _tags_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    place = (
+        F.when(F.col("c_custkey") % 5 == 0, "city")
+        .when(F.col("c_custkey") % 5 == 1, "town")
+        .when(F.col("c_custkey") % 5 == 2, "village")
+        .when(F.col("c_custkey") % 5 == 3, "hamlet")
+        .otherwise("suburb")
+    )
+    pop = F.floor(F.abs(F.col("c_acctbal")) * 1000).cast("long")
+    tags = F.create_map(
+        F.lit("place"), place,
+        F.lit("population"), F.format_string("%d", pop),
+        F.lit("name"), F.col("c_name"),
+    )
+    return c.select(F.col("c_custkey"), tags.alias("tags"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmgraft.sources.config import default_config
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    cfg = default_config()
+
+    # --- P1: filter + projection pushdown ------------------------------
+    def q_filter_scan(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return li.where(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+        ).select("l_orderkey", "l_quantity", "l_extendedprice")
+
+    # --- C1/P6: classification compiler --------------------------------
+    def q_classify(spark, sf):
+        from osmgraft.functions.classify import level_expr
+
+        t = _tags_df(spark, sf)
+        return t.select("c_custkey", level_expr(cfg, F.col("tags")).alias("level_id"))
+
+    # --- A4: level counts ------------------------------------------------
+    def q_level_counts(spark, sf):
+        from osmgraft.functions.classify import level_expr
+
+        t = _tags_df(spark, sf)
+        return (
+            t.select(level_expr(cfg, F.col("tags")).alias("level_id"))
+            .groupBy("level_id")
+            .agg(F.count("*").alias("poi_count"))
+        )
+
+    # --- P6: C-atoi semantics --------------------------------------------
+    def q_atoi(spark, sf):
+        from osmgraft.functions.classify import atoi_expr
+
+        p = _read(spark, sf, "part")
+        s = F.concat(F.lit("  +"), F.col("p_size").cast("string"), F.lit("kg"))
+        return p.select(
+            "p_partkey",
+            atoi_expr(s).alias("atoi_sized"),
+            atoi_expr(F.col("p_brand")).alias("atoi_brand"),
+        )
+
+    # --- P3/P4: name coalesce -------------------------------------------
+    def q_name_coalesce(spark, sf):
+        from osmgraft.functions.names import import_name_expr
+
+        c = _read(spark, sf, "customer")
+        tags = F.map_filter(
+            F.create_map(
+                F.lit("name"), F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")),
+                F.lit("official_name"), F.when(F.col("c_custkey") % 2 == 0, F.upper(F.col("c_name"))),
+                F.lit("int_name"), F.when(F.col("c_custkey") % 5 == 0, F.lower(F.col("c_name"))),
+            ),
+            lambda k, v: v.isNotNull(),
+        )
+        return c.select("c_custkey", import_name_expr(tags).alias("resolved_name"))
+
+    # --- J1/J2: left-semi reduction ---------------------------------------
+    def q_semi_join(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        big = _read(spark, sf, "orders").where(F.col("o_totalprice") > 150000)
+        return (
+            li.join(big, li["l_orderkey"] == big["o_orderkey"], "leftsemi")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        )
+
+    # --- J3/A2: hash-join + centroid avg ---------------------------------
+    def q_centroid(spark, sf):
+        pts = _pts(spark, sf)
+        n = _read(spark, sf, "nation")
+        return (
+            pts.join(n, pts["grp"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(F.avg("lat"), 6).alias("lat_c"),
+                F.round(F.avg("lon"), 6).alias("lon_c"),
+                F.count("*").alias("n_pts"),
+            )
+        )
+
+    # --- U1: union ---------------------------------------------------------
+    def q_union(spark, sf):
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").alias("id"), F.lit("customer").alias("src")
+        )
+        s = _read(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src")
+        )
+        return c.unionByName(s)
+
+    # --- O1/O2: two-phase global rank ------------------------------------
+    def q_global_rank(spark, sf):
+        from osmgraft.operators.rank import global_rank
+
+        c = _read(spark, sf, "customer").select(
+            F.col("c_custkey").alias("osm_id"),
+            F.col("c_nationkey").cast("long").alias("level_id"),
+            F.floor(F.col("c_acctbal")).cast("long").alias("population"),
+        )
+        return global_rank(c).select("osm_id", "rank")
+
+    # --- P8: size cap ------------------------------------------------------
+    def q_size_cap(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        ok = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s")).where(F.col("s") <= 100)
+        o = _read(spark, sf, "orders")
+        return o.join(ok.select("l_orderkey"), o["o_orderkey"] == ok["l_orderkey"], "leftsemi").select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    # --- A3: bounding box ---------------------------------------------------
+    def q_bbox(spark, sf):
+        pts = _pts(spark, sf)
+        return pts.groupBy("grp").agg(
+            F.round(F.min("lat"), 6).alias("min_lat"),
+            F.round(F.max("lat"), 6).alias("max_lat"),
+            F.round(F.min("lon"), 6).alias("min_lon"),
+            F.round(F.max("lon"), 6).alias("max_lon"),
+        )
+
+    # --- A5: histogram -------------------------------------------------------
+    def q_tag_histogram(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.count("*").alias("tag_count"))
+
+    # --- A6: detailed histogram + suppression --------------------------------
+    def q_tag_histogram_detailed(spark, sf):
+        ev = _read(spark, sf, "events").select(
+            F.col("event_type").alias("key"), F.col("props").alias("value")
+        )
+        per_value = ev.groupBy("key", "value").agg(F.count("*").alias("value_count"))
+        per_key = per_value.groupBy("key").agg(
+            F.count_distinct("value").alias("n_values"), F.sum("value_count").alias("key_count")
+        )
+        return (
+            per_value.join(per_key, "key")
+            .where(F.col("n_values") <= 500)
+            .select("key", "value", "value_count", "n_values", "key_count")
+        )
+
+    # --- tiles ---------------------------------------------------------------
+    def q_tiles(spark, sf):
+        from osmgraft.operators.tiles import assign_tiles
+
+        pts = _pts(spark, sf)
+        return (
+            assign_tiles(pts, z=10)
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_labels"))
+        )
+
+    # --- J6: kNN radius pairs (cell-pruned == exact within radius) -----------
+    def q_knn_pairs(spark, sf):
+        from osmgraft.operators.knn import knn_candidates
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        cand = knn_candidates(pts, pts, radius_m=200_000.0)
+        return cand.where(F.col("pid") < F.col("pid_r")).select(
+            F.col("pid").alias("id_a"), F.col("pid_r").alias("id_b")
+        )
+
+    # --- J5: PIP against rectangles (== SQL range join) -----------------------
+    def q_pip_boxes(spark, sf):
+        from osmgraft.operators.pip import pip_join
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        n = _read(spark, sf, "nation")
+        boxes = n.select(
+            F.col("n_nationkey").cast("long").alias("poly_id"),
+            F.col("n_name").alias("name"),
+            ((F.col("n_nationkey") % 9).cast("double") * 9.0 - 40.5678).alias("_la"),
+            ((F.col("n_nationkey") * 29 % 300).cast("double") - 150.5678).alias("_lo"),
+        )
+        polys = boxes.select(
+            "poly_id",
+            "name",
+            F.array(F.col("_la"), F.col("_la"), F.col("_la") + 8.1234, F.col("_la") + 8.1234).alias("ring_lats"),
+            F.array(F.col("_lo"), F.col("_lo") + 12.1234, F.col("_lo") + 12.1234, F.col("_lo")).alias("ring_lons"),
+        )
+        out = pip_join(pts, polys, strategy="broadcast")
+        return out.select("pid", "poly_id")
+
+    # --- dedup: exact ----------------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        from osmgraft.operators.dedup import exact_dedup
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        return exact_dedup(d.unionByName(dup)).select("doc_id")
+
+    # --- dedup: n-gram jaccard pairs -------------------------------------------
+    def q_jaccard_pairs(spark, sf):
+        from osmgraft.operators.dedup import jaccard_pairs
+
+        d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 200)
+        return jaccard_pairs(d, threshold=0.4).select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        )
+
+    # --- text quality ------------------------------------------------------------
+    def q_quality(spark, sf):
+        from osmgraft.operators.textstats import quality_features
+
+        d = _read(spark, sf, "documents")
+        qf = quality_features(d)
+        return qf.select(
+            "doc_id",
+            "n_chars",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("avg_word_len", 4).alias("avg_word_len"),
+            F.round("punct_ratio", 4).alias("punct_ratio"),
+            F.round("alpha_ratio", 4).alias("alpha_ratio"),
+            F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        )
+
+    # --- lang id -------------------------------------------------------------------
+    def q_lang_id(spark, sf):
+        from osmgraft.operators.textstats import lang_id
+
+        d = _read(spark, sf, "documents")
+        out = lang_id(d)
+        return out.select(
+            "doc_id",
+            F.col("en_hits").cast("long").alias("en_hits"),
+            F.col("de_hits").cast("long").alias("de_hits"),
+            F.col("fr_hits").cast("long").alias("fr_hits"),
+            "lang_guess",
+        )
+
+    # --- fingerprint ------------------------------------------------------------------
+    def q_fingerprint(spark, sf):
+        from osmgraft.operators.textstats import fingerprint
+
+        return fingerprint(_read(spark, sf, "documents"))
+
+    # --- similarity: brute-force top-k --------------------------------------------------
+    def q_ann_brute(spark, sf):
+        from osmgraft.operators.simsearch import brute_force_topk
+
+        emb = _read(spark, sf, "embeddings")
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        return brute_force_topk(emb, qv, 10).select("vec_id")
+
+    # --- events daily rollup (streaming-analog batch) ------------------------------------
+    def q_events_daily(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.groupBy(
+            F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+
+    # --- window top-k ------------------------------------------------------------------------
+    def q_window_topk(spark, sf):
+        from pyspark.sql import Window
+
+        o = _read(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn")
+        )
+
+    # =================== engine-native (rows-only checks) ===================
+
+    def q_osm_labels(spark, sf):
+        from osmgraft.plans.pipeline import label_pipeline
+
+        docs, blobs = _synth_docs(spark, 800)
+        return label_pipeline(spark, docs, blobs)
+
+    def q_osm_pip_admin(spark, sf):
+        from osmgraft.operators.pip import pip_join
+        from osmgraft.sources.decode import decode_documents
+
+        docs, blobs = _synth_docs(spark, 800)
+        frames = decode_documents(docs, blobs)
+        pts = frames.node_pois.select("osm_id", "lat", "lon")
+        return pip_join(pts, frames.polygons, strategy="partitioned", res=4).select(
+            "osm_id", "poly_id"
+        )
+
+    def q_osm_dedup_labels(spark, sf):
+        from osmgraft.operators.knn import dedup_labels
+        from osmgraft.plans.pipeline import label_pipeline
+
+        docs, blobs = _synth_docs(spark, 800)
+        return dedup_labels(label_pipeline(spark, docs, blobs), radius_m=2000.0)
+
+    def q_osm_adaptive_cells(spark, sf):
+        from osmgraft.operators.skew import adaptive_cell_split
+        from osmgraft.sources.decode import decode_documents
+
+        docs, blobs = _synth_docs(spark, 800)
+        pts = decode_documents(docs, blobs).node_pois.select("osm_id", "lat", "lon")
+        out = adaptive_cell_split(pts, base_res=3, max_rows=50, max_res=8)
+        return out.groupBy("cell").agg(F.count("*").alias("n"))
+
+    def q_s2_cells(spark, sf):
+        from osmgraft.functions.cells import s2_cell_udf
+
+        pts = _pts(spark, sf)
+        return pts.select("pid", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"))
+
+    def q_minhash_pairs(spark, sf):
+        from osmgraft.operators.dedup import minhash_lsh_pairs
+
+        d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 300)
+        dup = d.where(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        )
+        return minhash_lsh_pairs(
+            d.unionByName(dup), num_hashes=32, bands=16, verify_threshold=0.6
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+    def q_simhash_pairs(spark, sf):
+        from osmgraft.operators.dedup import simhash_pairs
+
+        d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 300)
+        dup = d.where(F.col("doc_id") < 30).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        return simhash_pairs(d.unionByName(dup), max_hamming=4, prefix_bits=12)
+
+    def q_ann_lsh(spark, sf):
+        from osmgraft.operators.simsearch import ann_topk
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("q_id"), "embedding")
+        return ann_topk(emb, qs, k=5, dim=64, n_planes=6, n_tables=8)
+
+    def q_multimodal_features(spark, sf):
+        from osmgraft.operators.multimodal import extract_features, synth_media
+
+        media = synth_media(spark, 200, seed=SEED)
+        return extract_features(media, dim=16).select("media_id", "n_bytes")
+
+    return {
+        "filter_scan": q_filter_scan,
+        "classify_levels": q_classify,
+        "classify_level_counts": q_level_counts,
+        "atoi_semantics": q_atoi,
+        "name_coalesce": q_name_coalesce,
+        "semi_join_reduction": q_semi_join,
+        "join_centroid": q_centroid,
+        "union_pois": q_union,
+        "global_rank": q_global_rank,
+        "area_size_cap": q_size_cap,
+        "bbox_agg": q_bbox,
+        "tag_histogram": q_tag_histogram,
+        "tag_histogram_detailed": q_tag_histogram_detailed,
+        "tile_assignment": q_tiles,
+        "knn_radius_pairs": q_knn_pairs,
+        "pip_rectangles": q_pip_boxes,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "text_quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_brute_topk": q_ann_brute,
+        "events_daily": q_events_daily,
+        "window_topk": q_window_topk,
+        # engine-native, rows-only:
+        "osm_label_pipeline": q_osm_labels,
+        "osm_pip_admin": q_osm_pip_admin,
+        "osm_dedup_labels": q_osm_dedup_labels,
+        "osm_adaptive_cells": q_osm_adaptive_cells,
+        "s2_cells": q_s2_cells,
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    atoi = (
+        "coalesce(try_cast(regexp_extract({v}, '^[\\t\\n\\x0b\\x0c\\r ]*([+-]?[0-9]+)', 1) "
+        "as bigint), 0)"
+    )
+    classify_case = """
+        case
+          when place = 'city' and {p} >= 5000000 then 16
+          when place = 'city' and {p} >= 1000000 then 15
+          when place = 'city' and {p} >= 500000 then 14
+          when place = 'city' then 13
+          when place = 'town' and {p} >= 100000 then 12
+          when place = 'town' and {p} >= 25000 then 11
+          when place = 'town' then 10
+          when place = 'village' then 9
+          when place = 'suburb' then 8
+          when place = 'hamlet' then 7
+          else 0
+        end
+    """.format(p=atoi.format(v="printf('%d', pop)"))
+
+    hav = (
+        "2*6371008.8*asin(sqrt("
+        "pow(sin(radians(b.lat-a.lat)/2),2) + "
+        "cos(radians(a.lat))*cos(radians(b.lat))*pow(sin(radians(b.lon-a.lon)/2),2)))"
+    )
+
+    tok = "string_split_regex(trim(text), '\\s+')"
+    ltok = "string_split_regex(trim(lower(text)), '\\s+')"
+    bpe = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+    en = "len(list_filter({w}, x -> x in ('the','a','of','and','to','in','is','it','that','for')))"
+    de = "len(list_filter({w}, x -> x in ('der','die','das','und','ist','ein','nicht','mit','auf','ich')))"
+    fr = "len(list_filter({w}, x -> x in ('le','la','les','et','un','une','est','que','pour','dans')))"
+
+    return {
+        "filter_scan": (
+            "select l_orderkey, l_quantity, l_extendedprice from lineitem "
+            "where l_returnflag = 'R' and l_quantity > 30"
+        ),
+        "classify_levels": (
+            f"select c_custkey, {classify_case} as level_id from ({_TAGS_SQL_SRC}) t"
+        ),
+        "classify_level_counts": (
+            f"select level_id, count(*) as poi_count from "
+            f"(select {classify_case} as level_id from ({_TAGS_SQL_SRC}) t) s group by level_id"
+        ),
+        "atoi_semantics": (
+            "select p_partkey, "
+            + atoi.format(v="concat('  +', cast(p_size as varchar), 'kg')")
+            + " as atoi_sized, "
+            + atoi.format(v="p_brand")
+            + " as atoi_brand from part"
+        ),
+        "name_coalesce": (
+            "select c_custkey, coalesce("
+            "case when c_custkey % 3 = 0 then c_name end, "
+            "case when c_custkey % 2 = 0 then upper(c_name) end, "
+            "case when c_custkey % 5 = 0 then lower(c_name) end, "
+            "'') as resolved_name from customer"
+        ),
+        "semi_join_reduction": (
+            "select l_returnflag, count(*) as n, round(sum(l_quantity), 4) as qty "
+            "from lineitem where l_orderkey in "
+            "(select o_orderkey from orders where o_totalprice > 150000) "
+            "group by l_returnflag"
+        ),
+        "join_centroid": (
+            f"select n_name, round(avg(lat), 6) as lat_c, round(avg(lon), 6) as lon_c, "
+            f"count(*) as n_pts from ({_PTS_SQL}) p join nation on p.grp = n_nationkey "
+            "group by n_name"
+        ),
+        "union_pois": (
+            "select c_custkey as id, 'customer' as src from customer "
+            "union all select s_suppkey as id, 'supplier' as src from supplier"
+        ),
+        "global_rank": (
+            "select c_custkey as osm_id, row_number() over "
+            "(order by c_nationkey asc, cast(floor(c_acctbal) as bigint) asc, c_custkey asc) - 1 "
+            "as rank from customer"
+        ),
+        "area_size_cap": (
+            "select o_orderkey, o_totalprice from orders where o_orderkey in "
+            "(select l_orderkey from lineitem group by l_orderkey having sum(l_quantity) <= 100)"
+        ),
+        "bbox_agg": (
+            f"select grp, round(min(lat),6) as min_lat, round(max(lat),6) as max_lat, "
+            f"round(min(lon),6) as min_lon, round(max(lon),6) as max_lon "
+            f"from ({_PTS_SQL}) p group by grp"
+        ),
+        "tag_histogram": (
+            "select event_type, count(*) as tag_count from events group by event_type"
+        ),
+        "tag_histogram_detailed": (
+            "with per_value as (select event_type as key, props as value, count(*) as value_count "
+            "from events group by 1, 2), "
+            "per_key as (select key, count(distinct value) as n_values, sum(value_count) as key_count "
+            "from per_value group by key) "
+            "select v.key, v.value, v.value_count, k.n_values, k.key_count "
+            "from per_value v join per_key k on v.key = k.key where k.n_values <= 500"
+        ),
+        "tile_assignment": (
+            f"select 10 as tile_z, "
+            f"cast(least(floor((lon+180.0)/360.0*1024), 1023) as bigint) as tile_x, "
+            f"cast(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) "
+            f"+ 1.0/cos(radians(least(greatest(lat, -85.05112878), 85.05112878))))/pi())/2.0*1024), 0), 1023) as bigint) as tile_y, "
+            f"count(*) as n_labels from ({_PTS_SQL}) p group by 1, 2, 3"
+        ),
+        "knn_radius_pairs": (
+            f"select a.pid as id_a, b.pid as id_b from ({_PTS_SQL}) a, ({_PTS_SQL}) b "
+            f"where a.pid < b.pid and {hav} <= 200000.0"
+        ),
+        "pip_rectangles": (
+            "with boxes as (select cast(n_nationkey as bigint) as poly_id, "
+            "(n_nationkey % 9) * 9.0 - 40.5678 as la, (n_nationkey * 29 % 300) - 150.5678 as lo from nation) "
+            f"select pid, poly_id from ({_PTS_SQL}) p, boxes "
+            "where p.lat > la and p.lat < la + 8.1234 and p.lon > lo and p.lon < lo + 12.1234"
+        ),
+        "dedup_exact": (
+            "with corpus as (select doc_id, text from documents "
+            "union all select doc_id + 1000000 as doc_id, text from documents) "
+            "select doc_id from corpus where doc_id in "
+            "(select min(doc_id) from corpus group by md5(text))"
+        ),
+        "jaccard_pairs": (
+            "with d as (select doc_id, text from documents where doc_id < 200), "
+            f"tok as (select distinct doc_id as id, unnest({tok}) as w from d), "
+            "sizes as (select id, count(*) as sz from tok group by id), "
+            "inter as (select a.id as id_a, b.id as id_b, count(*) as i from tok a "
+            "join tok b on a.w = b.w and a.id < b.id group by 1, 2) "
+            "select id_a, id_b, round(cast(i as double)/(sa.sz + sb.sz - i), 4) as jaccard "
+            "from inter join sizes sa on id_a = sa.id join sizes sb on id_b = sb.id "
+            "where cast(i as double)/(sa.sz + sb.sz - i) >= 0.4"
+        ),
+        "text_quality": (
+            f"select doc_id, length(text) as n_chars, "
+            f"cast(len({tok}) as bigint) as n_words, "
+            f"cast(len({bpe}) as bigint) as n_tokens, "
+            f"round(cast(length(text) as double)/len({tok}), 4) as avg_word_len, "
+            f"round(cast(len(regexp_extract_all(text, '[^\\w\\s]')) as double)/length(text), 4) as punct_ratio, "
+            f"round(cast(len(regexp_extract_all(text, '[A-Za-z]')) as double)/length(text), 4) as alpha_ratio, "
+            f"round(cast({en.format(w=ltok)} as double)/len({tok}), 4) as stopword_ratio "
+            "from documents"
+        ),
+        "lang_id": (
+            f"select doc_id, cast({en.format(w=ltok)} as bigint) as en_hits, "
+            f"cast({de.format(w=ltok)} as bigint) as de_hits, "
+            f"cast({fr.format(w=ltok)} as bigint) as fr_hits, "
+            f"case when {en.format(w=ltok)} >= {de.format(w=ltok)} and {en.format(w=ltok)} >= {fr.format(w=ltok)} "
+            f"and {en.format(w=ltok)} > 0 then 'en' "
+            f"when {de.format(w=ltok)} >= {fr.format(w=ltok)} and {de.format(w=ltok)} > 0 then 'de' "
+            f"when {fr.format(w=ltok)} > 0 then 'fr' else 'unknown' end as lang_guess "
+            "from documents"
+        ),
+        "fingerprint": (
+            "select doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) as fp "
+            "from documents"
+        ),
+        "ann_brute_topk": (
+            "with q as (select embedding as qv from embeddings where vec_id = 7) "
+            "select vec_id from (select vec_id, list_cosine_similarity(cast(embedding as double[]), cast(qv as double[])) as c "
+            "from embeddings, q order by c desc, vec_id asc limit 10) t"
+        ),
+        "events_daily": (
+            "select user_id, cast(date_trunc('day', ts) as timestamp) as day, count(*) as n_events, "
+            "round(sum(value), 4) as total_value from events group by 1, 2"
+        ),
+        "window_topk": (
+            "select o_custkey, o_orderkey, rn from (select o_custkey, o_orderkey, "
+            "row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn "
+            "from orders) t where rn <= 3"
+        ),
+    }

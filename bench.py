@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: POI rows extracted+tiled per second through the full
+engine pipeline (decode -> classify -> areas -> rank -> label -> tile) on
+the interleaved documents table, plus per-query wall times for the other
+operator families at $SPARK_GRAFT_SF_DIR.
+
+The synthetic documents table is staged once under /tmp (generation is NOT
+part of the measured time; the input is a parquet table, as in the target
+deployment). Scale of the synth table tracks the sf dir (sf0.1 -> 60k docs).
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  OSMGRAFT_BENCH_DOCS (override synth doc count)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+
+def sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def stage_synth(spark, n_docs: int) -> tuple[str, str]:
+    """Generate (once) and cache the interleaved docs+blobs parquet."""
+    from osmgraft.sources.synth import SynthParams, write_synth
+
+    root = f"/tmp/osmgraft_bench_{SEED}_{n_docs}"
+    docs_p, blobs_p = f"{root}/documents.parquet", f"{root}/blobs.parquet"
+    if not (os.path.exists(f"{docs_p}/_SUCCESS") and os.path.exists(f"{blobs_p}/_SUCCESS")):
+        write_synth(spark, root, SynthParams(n_docs=n_docs, seed=SEED), partitions=CPUS * 2)
+    return docs_p, blobs_p
+
+
+def main() -> None:
+    from osmgraft.session import get_spark
+
+    spark = get_spark(app_name="osmgraft-bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = sf_of(SF_DIR)
+    n_docs = int(os.environ.get("OSMGRAFT_BENCH_DOCS", str(max(2000, int(600_000 * sf)))))
+    docs_path, blobs_path = stage_synth(spark, n_docs)
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(docs_path)
+    blobs = spark.read.parquet(blobs_path)
+
+    # q1: flagship — full pipeline to tiled labels (count materializes all)
+    def q_pipeline():
+        from osmgraft.operators.tiles import assign_tiles
+        from osmgraft.plans.pipeline import label_pipeline
+
+        return assign_tiles(label_pipeline(spark, docs, blobs), z=12).count()
+
+    n_labels = timed("osm_pipeline_tiles", q_pipeline)
+    extras["poi_rows"] = n_labels
+    extras["poi_rows_per_sec"] = round(n_labels / times["osm_pipeline_tiles"], 1)
+
+    # q2: PIP join of node POIs against admin polygons (partitioned strategy)
+    def q_pip():
+        from osmgraft.operators.pip import pip_join
+        from osmgraft.sources.decode import decode_documents
+
+        frames = decode_documents(docs, blobs)
+        pts = frames.node_pois.select("osm_id", "lat", "lon")
+        return pip_join(pts, frames.polygons, strategy="partitioned", res=4).count()
+
+    timed("pip_partitioned", q_pip)
+
+    # q3: kNN label dedup at 2km
+    def q_dedup():
+        from osmgraft.operators.knn import dedup_labels
+        from osmgraft.plans.pipeline import label_pipeline
+
+        return dedup_labels(label_pipeline(spark, docs, blobs), radius_m=2000.0).count()
+
+    timed("knn_dedup_2km", q_dedup)
+
+    # q4: classification + two-phase global rank over the sf customer table
+    def q_rank():
+        from __spark_entry__ import queries
+
+        return queries()["global_rank"](spark, SF_DIR).count()
+
+    timed("classify_global_rank", q_rank)
+
+    # q5: MinHash LSH near-dup pairs over the sf documents table
+    def q_minhash():
+        from osmgraft.operators.dedup import minhash_lsh_pairs
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        return minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.5).count()
+
+    timed("minhash_lsh_docs", q_minhash)
+
+    # q6: brute-force cosine top-k over the sf embeddings table
+    def q_ann():
+        from osmgraft.operators.simsearch import brute_force_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
+        return brute_force_topk(emb, qv, 10).count()
+
+    timed("ann_brute_topk", q_ann)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "poi_rows_extracted_tiled_per_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

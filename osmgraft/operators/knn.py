@@ -59,15 +59,36 @@ def knn_candidates(
         res = res_for_radius(radius_m)
     enc = hex_cell_udf(res)
     l = left.withColumn("_cell", enc(F.col(left_cols[0]), F.col(left_cols[1])))
-    r = right.withColumn("_cell_r", enc(F.col(right_cols[0]), F.col(right_cols[1])))
-    r = r.select([F.col(c).alias(f"{c}_r") for c in right.columns] + [F.col("_cell_r")])
+
+    # antimeridian handling: the hex grid is a lon/lat plane, so points on
+    # opposite sides of +-180 land in distant cells. Replicate right-side
+    # rows near the seam with lon shifted by +-360 (cells computed on the
+    # shifted lon; the exact haversine is periodic so distances stay right),
+    # then drop duplicate matches.
+    rlat, rlon = F.col(right_cols[0]), F.col(right_cols[1])
+    margin = F.lit(radius_m / DEG_M) / F.greatest(F.cos(F.radians(rlat)), F.lit(0.05)) + F.lit(
+        2 * hex_edge_deg(res)
+    )
+    east = right.where(rlon > 180.0 - margin).withColumn(right_cols[1] + "__s", rlon - 360.0)
+    west = right.where(rlon < -180.0 + margin).withColumn(right_cols[1] + "__s", rlon + 360.0)
+    shifted = east.unionByName(west)
+
+    def enc_right(df: DataFrame, lon_col: str) -> DataFrame:
+        out = df.withColumn("_cell_r", enc(rlat, F.col(lon_col)))
+        return out.select(
+            [F.col(c).alias(f"{c}_r") for c in right.columns] + [F.col("_cell_r")]
+        )
+
+    r_all = enc_right(right, right_cols[1]).unionByName(enc_right(shifted, right_cols[1] + "__s"))
 
     l_exp = l.withColumn("_cand", F.explode(hex_neighbors_expr(F.col("_cell"), k=1))).drop("_cell")
-    pairs = l_exp.join(r, l_exp["_cand"] == r["_cell_r"]).drop("_cand", "_cell_r")
+    pairs = l_exp.join(r_all, l_exp["_cand"] == r_all["_cell_r"]).drop("_cand", "_cell_r")
     dist = haversine_m(
         F.col(left_cols[0]), F.col(left_cols[1]), F.col(f"{right_cols[0]}_r"), F.col(f"{right_cols[1]}_r")
     )
-    return pairs.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m)
+    out = pairs.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m)
+    # a seam pair can match via both the original and the shifted replica
+    return out.dropDuplicates(out.columns)
 
 
 def knn_join(

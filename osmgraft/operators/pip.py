@@ -60,8 +60,13 @@ def _pip_kernel_expr() -> callable:
         out = np.zeros(len(lat), dtype=bool)
         la, lo = lat.to_numpy(), lon.to_numpy()
         for i in range(len(la)):
-            rlats = _closed(np.asarray(rl.iloc[i], dtype=np.float64))
-            rlons = _closed(np.asarray(rg.iloc[i], dtype=np.float64))
+            rlats = np.asarray(rl.iloc[i], dtype=np.float64)
+            rlons = np.asarray(rg.iloc[i], dtype=np.float64)
+            # close the ring as a VERTEX pair (closing only one coordinate
+            # array would desynchronize the edge lists)
+            if rlats[0] != rlats[-1] or rlons[0] != rlons[-1]:
+                rlats = np.append(rlats, rlats[0])
+                rlons = np.append(rlons, rlons[0])
             out[i] = point_in_ring(la[i], lo[i], rlats, rlons)
         return pd.Series(out)
 

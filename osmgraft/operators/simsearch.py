@@ -18,15 +18,18 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float*float would accumulate float32 error
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
