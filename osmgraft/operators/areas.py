@@ -129,6 +129,64 @@ _AREA_OUT = StructType(
 )
 
 
+def _finalize_batches(pos_key: str, literal_bugs: bool):
+    """Batched A1+A2 kernel over packed (rel_id, mem) rows — thousands of
+    relations per Arrow batch, plain-Python inner loop bounded by P8."""
+    from collections.abc import Iterator
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rel: list[int] = []
+            out_lat: list[float] = []
+            out_lon: list[float] = []
+            for rel_id, mem in zip(pdf["rel_id"], pdf["mem"]):
+                segs: dict[int, list[int]] = {}
+                coords: dict[int, tuple[float, float]] = {}
+                outer_ids: list[tuple[int, int]] = []
+                for m in mem:
+                    wid = int(m["way_id"])
+                    node_ids = [int(x) for x in m["node_ids"]]
+                    segs[wid] = node_ids
+                    for nid, la, lo in zip(node_ids, m["lats"], m["lons"]):
+                        coords[nid] = (float(la), float(lo))
+                    if m["role"] == 0:
+                        outer_ids.append((int(m[pos_key]), wid))
+                outer_ids.sort()
+                outer = [w for _, w in outer_ids]
+                if not outer:
+                    continue
+                # P8: total outer node refs cap (:226-235)
+                if sum(len(segs[w]) for w in outer) > MAX_OUTER_NODE_REFS:
+                    continue
+                rings = assemble_polygon(outer, segs, literal_bugs=literal_bugs)
+                if not rings:
+                    continue
+                lat, lon = centroid_of_rings(rings, coords)
+                out_rel.append(int(rel_id))
+                out_lat.append(lat)
+                out_lon.append(lon)
+            yield pd.DataFrame({"rel_id": out_rel, "lat": out_lat, "lon": out_lon})
+
+    return finalize
+
+
+def packed_area_centroids(rel_packed: DataFrame, literal_bugs: bool = False) -> DataFrame:
+    """(rel_id, lat, lon) straight from the decode stage's packed relations
+    (rel_id, mem, has_missing, tags) — zero extra shuffles: P9 and P8 are
+    Catalyst filters on the packed row, assembly is one narrow Arrow pass."""
+    outer_refs = F.aggregate(
+        F.filter(F.col("mem"), lambda m: m["role"] == F.lit(0)),
+        F.lit(0),
+        lambda acc, m: acc + F.size(m["node_ids"]),
+    )
+    src = (
+        rel_packed.where(~F.col("has_missing"))  # P9 (:637-655)
+        .where(outer_refs.between(1, MAX_OUTER_NODE_REFS))  # P8 (:226-235)
+        .select("rel_id", "mem")
+    )
+    return src.mapInPandas(_finalize_batches("ord", literal_bugs), schema=_AREA_OUT)
+
+
 def area_centroids(
     relations: DataFrame,
     ways: DataFrame,
@@ -145,6 +203,10 @@ def area_centroids(
     - ``nodes`` given: reference-faithful hash-join resolution (J2/J3):
       explode way node_ids -> join nodes -> regroup. Kept for parity tests
       and for inputs where geometry is only available per node.
+
+    Prefer :func:`packed_area_centroids` when the decode stage's packed
+    relations frame is available — it shares the decode shuffle instead of
+    re-exploding members.
     """
     # P9: completeness — drop relations referencing missing ways (:637-655)
     rel = relations.where(~F.col("has_missing"))
@@ -179,33 +241,18 @@ def area_centroids(
         )
         joined = members.join(regrouped, "way_id")
 
-    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        rel_id = int(pdf["rel_id"].iloc[0])
-        segs: dict[int, list[int]] = {}
-        coords: dict[int, tuple[float, float]] = {}
-        outer_ids: list[tuple[int, int]] = []
-        for _, row in pdf.iterrows():
-            wid = int(row["way_id"])
-            node_ids = [int(x) for x in row["node_ids"]]
-            segs[wid] = node_ids
-            for nid, la, lo in zip(node_ids, row["lats"], row["lons"]):
-                coords[int(nid)] = (float(la), float(lo))
-            if row["role"] == 0:
-                outer_ids.append((int(row["pos"]), wid))
-        outer_ids.sort()
-        outer = [w for _, w in outer_ids]
-        if not outer:
-            return pd.DataFrame(columns=["rel_id", "lat", "lon"])
-        # P8: total outer node refs cap (:226-235)
-        if sum(len(segs[w]) for w in outer) > MAX_OUTER_NODE_REFS:
-            return pd.DataFrame(columns=["rel_id", "lat", "lon"])
-        rings = assemble_polygon(outer, segs, literal_bugs=literal_bugs)
-        if not rings:
-            return pd.DataFrame(columns=["rel_id", "lat", "lon"])
-        lat, lon = centroid_of_rings(rings, coords)
-        return pd.DataFrame({"rel_id": [rel_id], "lat": [lat], "lon": [lon]})
-
-    return joined.groupBy("rel_id").applyInPandas(finalize, schema=_AREA_OUT)
+    # Pack each relation into ONE row via a Catalyst agg, then finalize with
+    # mapInPandas over LARGE Arrow batches (thousands of relations per
+    # batch). A groupBy().applyInPandas here would build one pandas frame
+    # per relation — measured ~2ms/group fixed overhead, i.e. 39s for 18k
+    # relations even with a no-op kernel; batched it is <2s. Group payload
+    # is bounded by P8 (<=100 outer refs), so a packed row stays tiny.
+    packed = joined.groupBy("rel_id").agg(
+        F.collect_list(
+            F.struct("pos", "role", "way_id", "node_ids", "lats", "lons")
+        ).alias("mem")
+    )
+    return packed.mapInPandas(_finalize_batches("pos", literal_bugs), schema=_AREA_OUT)
 
 
 def area_pois(
@@ -213,11 +260,21 @@ def area_pois(
     ways: DataFrame,
     nodes: DataFrame | None = None,
     segments: DataFrame | None = None,
+    packed: DataFrame | None = None,
     literal_bugs: bool = False,
 ) -> DataFrame:
     """Finished area POIs: (osm_id, lat, lon, tags) — ready for U1 union
-    with node POIs (osminputhelper.cpp:706-734)."""
-    cents = area_centroids(relations, ways, nodes=nodes, segments=segments, literal_bugs=literal_bugs)
-    return cents.join(relations.select("rel_id", "tags"), "rel_id").select(
+    with node POIs (osminputhelper.cpp:706-734). With ``packed`` (the
+    decode stage's single-shuffle relations frame) the whole path is one
+    shuffle + one narrow Arrow pass."""
+    if packed is not None:
+        cents = packed_area_centroids(packed, literal_bugs=literal_bugs)
+        tags_src = packed.select("rel_id", "tags")
+    else:
+        cents = area_centroids(
+            relations, ways, nodes=nodes, segments=segments, literal_bugs=literal_bugs
+        )
+        tags_src = relations.select("rel_id", "tags")
+    return cents.join(tags_src, "rel_id").select(
         F.col("rel_id").alias("osm_id"), "lat", "lon", "tags"
     )

@@ -9,25 +9,24 @@ time (textoutputhelper.cpp:80-101).
 At cluster scale a ``Window.orderBy`` without partition keys collapses to
 ONE task, so the engine uses a two-phase rank:
 
-1. range-repartition + sort within partitions on the sort key (this is
-   exactly what ``orderBy`` plans — a range shuffle, no single task);
-2. count rows per partition (tiny job), prefix-sum the counts on the
-   driver (numPartitions values, not data!), broadcast offsets;
-3. add ``offset[pid] + local_row_number`` per partition in one narrow pass.
+1. range-repartition on the sort key (exactly what ``orderBy`` plans — a
+   range shuffle, no single task) + tag rows with ``spark_partition_id``;
+2. materialize the sorted partitions once, count rows per partition (a
+   tiny job over numPartitions values), prefix-sum on the driver;
+3. ``rank = offset[pid] + local index`` added by a narrow Arrow pass that
+   counts rows as each sorted partition streams through.
 
 The result is identical to ``row_number() OVER (ORDER BY ...)`` (tested),
-with no one-task stage. Total order is deterministic because osm_id breaks
-all ties.
+with no one-task stage over data. Total order is deterministic because
+osm_id breaks all ties. See ``global_rank`` for why the sorted frame must
+be materialized (sampling-based range boundaries are not reproducible
+across two physical executions of the same plan under AQE).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def sort_key_columns(df: DataFrame) -> list:
@@ -50,13 +49,38 @@ def importance_sort(df: DataFrame) -> DataFrame:
 
 def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
     """O2 at scale: two-phase row_number over the O1 order (0-based, like
-    the reference's ``importance++``)."""
-    sorted_df = importance_sort(df)
-    sorted_df = sorted_df.withColumn("_pid", F.spark_partition_id())
-    sorted_df.persist()
+    the reference's ``importance++``).
+
+    The sorted frame is materialized ONCE (``localCheckpoint``) before the
+    counts pass. A fully-lazy variant (counts subtree + data subtree of the
+    same range exchange) is NOT correct: range-partition boundaries come
+    from sampling the upstream, and AQE may present the upstream to each
+    physical execution with different partitioning, shifting boundary rows
+    between partitions — we observed both dropped rows and wrong offsets.
+    Single-execution is what RDD.zipWithIndex does too (one count job, one
+    emit job). ``localCheckpoint`` rather than ``persist``: blocks are
+    freed by the ContextCleaner when the frame is garbage-collected, so
+    repeated pipeline runs don't accumulate cache entries. On a real
+    cluster with executor churn, swap for a reliable checkpoint via the
+    lineage module (plans/lineage.py) — same two-phase shape.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keys = sort_key_columns(df)
+    sorted_df = (
+        df.repartitionByRange(n_part, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_pid"]: r["_cnt"]
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -64,7 +88,9 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = StructType(sorted_df.schema.fields + [StructField(rank_col, LongType(), False)])
+    out_schema = StructType(
+        list(sorted_df.schema.fields) + [StructField(rank_col, LongType(), False)]
+    )
 
     def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = 0
@@ -72,11 +98,9 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
             n = len(pdf)
             if n == 0:
                 continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
             pdf = pdf.copy()
-            pdf[rank_col] = range(base + local, base + local + n)
+            pdf[rank_col] = offsets[int(pdf["_pid"].iloc[0])] + local + pd.RangeIndex(n)
             local += n
             yield pdf
 
-    ranked = sorted_df.mapInPandas(add_rank, schema=out_schema, barrier=False)
-    return ranked.drop("_pid")
+    return sorted_df.mapInPandas(add_rank, schema=out_schema).drop("_pid")

@@ -155,6 +155,9 @@ class DecodedFrames:
     nodes: DataFrame      # node_id, lat, lon
     polygons: DataFrame   # poly_id, name, ring_lats, ring_lons
     segments: DataFrame | None = None  # way_id, node_ids, lats, lons (decoded)
+    # rel_id, tags, has_missing, mem:array<struct<ord,role,way_id,node_ids,lats,lons>>
+    # — the single-shuffle packed form the area path consumes directly
+    rel_packed: DataFrame | None = None
 
 
 def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
@@ -186,35 +189,46 @@ def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
     seg_blobs = blobs.join(rel_refs.select("blob_id"), "blob_id", "leftsemi")
     segs = decode_segments(seg_blobs)
 
-    # member resolution: LEFT join so dangling refs surface as NULL way_id
-    members = rel_refs.join(segs.select("blob_id", "role", "way_id"), "blob_id", "left")
+    # member resolution: LEFT join so dangling refs surface as NULL way_id.
+    # ONE groupBy packs everything the area path needs (roles, ids AND
+    # coordinate arrays) so relation metadata + polygon assembly share a
+    # single shuffle (ReuseExchange dedupes it inside the pipeline plan).
+    members = rel_refs.join(
+        segs.select("blob_id", "role", "way_id", "node_ids", "lats", "lons"),
+        "blob_id",
+        "left",
+    )
     rel_grouped = (
         members.groupBy("rel_id")
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.when(F.col("role") == geoblob.ROLE_OUTER, F.struct("ord", "way_id"))
+                    F.struct("ord", "role", "way_id", "node_ids", "lats", "lons")
                 )
-            ).alias("_outer"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col("role") == geoblob.ROLE_INNER, F.struct("ord", "way_id"))
-                )
-            ).alias("_inner"),
+            ).alias("mem"),
             F.max((F.col("role") == geoblob.ROLE_UNKNOWN).cast("int")).alias("_has_unknown"),
             F.max(F.col("way_id").isNull().cast("int")).alias("_has_missing"),
         )
         # unknown member role => relation ignored (osminputhelper.cpp:328-337)
         .where(F.col("_has_unknown") == 0)
-        .select(
-            "rel_id",
-            F.transform("_outer", lambda s: s["way_id"]).alias("outer"),
-            F.transform("_inner", lambda s: s["way_id"]).alias("inner"),
-            (F.col("_has_missing") == 1).alias("has_missing"),
-        )
+        .select("rel_id", "mem", (F.col("_has_missing") == 1).alias("has_missing"))
     )
     rel_tags = with_tags(rel_docs).select(doc_osm_id().alias("rel_id"), "tags")
-    relations = rel_grouped.join(rel_tags, "rel_id")
+    rel_packed = rel_grouped.join(rel_tags, "rel_id")
+
+    def _role_ids(role: int) -> Column:
+        return F.transform(
+            F.filter(F.col("mem"), lambda m: m["role"] == F.lit(role)),
+            lambda m: m["way_id"],
+        )
+
+    relations = rel_packed.select(
+        "rel_id",
+        _role_ids(geoblob.ROLE_OUTER).alias("outer"),
+        _role_ids(geoblob.ROLE_INNER).alias("inner"),
+        "has_missing",
+        "tags",
+    )
 
     ways = segs.select("way_id", "node_ids")
     nodes = (
@@ -248,4 +262,6 @@ def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
         )
     )
 
-    return DecodedFrames(node_pois, relations, ways, nodes, polygons, segments=segs)
+    return DecodedFrames(
+        node_pois, relations, ways, nodes, polygons, segments=segs, rel_packed=rel_packed
+    )
