@@ -287,6 +287,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = pip_join(pts, polys, strategy="broadcast")
         return out.select("pid", "poly_id")
 
+    # --- raster <-> vector -------------------------------------------------------
+    def q_rasterize(spark, sf):
+        from osmgraft.operators.raster import rasterize
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        return rasterize(pts, z=6, px=64)
+
+    def q_raster_vectorize(spark, sf):
+        from osmgraft.operators.raster import rasterize, vectorize
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        rect = vectorize(rasterize(pts, z=6, px=64), px=64)
+        return rect.select(
+            "poly_id",
+            "value",
+            F.round(F.element_at("ring_lats", 1), 4).alias("south"),
+            F.round(F.element_at("ring_lats", 3), 4).alias("north"),
+            F.round(F.element_at("ring_lons", 1), 4).alias("west"),
+            F.round(F.element_at("ring_lons", 2), 4).alias("east"),
+        )
+
     # --- dedup: exact ----------------------------------------------------------
     def q_dedup_exact(spark, sf):
         from osmgraft.operators.dedup import exact_dedup
@@ -458,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": q_tiles,
         "knn_radius_pairs": q_knn_pairs,
         "pip_rectangles": q_pip_boxes,
+        "rasterize_density": q_rasterize,
+        "raster_vectorize": q_raster_vectorize,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "text_quality": q_quality,
@@ -595,6 +618,28 @@ def oracle_sql() -> dict[str, str]:
             "(n_nationkey % 9) * 9.0 - 40.5678 as la, (n_nationkey * 29 % 300) - 150.5678 as lo from nation) "
             f"select pid, poly_id from ({_PTS_SQL}) p, boxes "
             "where p.lat > la and p.lat < la + 8.1234 and p.lon > lo and p.lon < lo + 12.1234"
+        ),
+        "rasterize_density": (
+            f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select least(cast(floor((lon+180.0)/360.0*4096) as bigint), 4095) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*4096), 0), 4095) as bigint) as gy "
+            "from src) "
+            "select 6 as tile_z, gx//64 as tile_x, gy//64 as tile_y, "
+            "gx%64 as px_x, gy%64 as px_y, count(*) as value from px group by 1,2,3,4,5"
+        ),
+        "raster_vectorize": (
+            f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select least(cast(floor((lon+180.0)/360.0*4096) as bigint), 4095) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*4096), 0), 4095) as bigint) as gy "
+            "from src), "
+            "cells as (select gx, gy, count(*) as value from px group by 1,2) "
+            "select gx*4294967296 + gy as poly_id, value, "
+            "round(degrees(atan((exp(pi() - 2*pi()*(gy+1)/4096.0) - exp(-(pi() - 2*pi()*(gy+1)/4096.0)))/2.0)), 4) as south, "
+            "round(degrees(atan((exp(pi() - 2*pi()*gy/4096.0) - exp(-(pi() - 2*pi()*gy/4096.0)))/2.0)), 4) as north, "
+            "round(gx/4096.0*360.0 - 180.0, 4) as west, "
+            "round((gx+1)/4096.0*360.0 - 180.0, 4) as east from cells"
         ),
         "dedup_exact": (
             "with corpus as (select doc_id, text from documents "

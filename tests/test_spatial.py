@@ -228,3 +228,75 @@ def test_tiles_with_order(spark):
     out = {r["osm_id"]: r["tile_pos"] for r in tiles_with_order(df, z=8).collect()}
     assert out[2] == 0 and out[1] == 1  # same tile, rank 2 first
     assert out[3] == 0
+
+
+# --- raster <-> vector ------------------------------------------------------------
+
+
+def test_rasterize_count_preserved(spark):
+    """Every input point lands in exactly one pixel -> values sum to N."""
+    from osmgraft.operators.raster import rasterize
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in zip(rng.uniform(-80, 80, 400), rng.uniform(-179, 179, 400))],
+        "lat double, lon double",
+    )
+    ras = rasterize(pts, z=4, px=64)
+    rows = ras.collect()
+    assert sum(r["value"] for r in rows) == 400
+    for r in rows:
+        assert 0 <= r["tile_x"] < 16 and 0 <= r["tile_y"] < 16
+        assert 0 <= r["px_x"] < 64 and 0 <= r["px_y"] < 64
+
+
+def test_rasterize_agg_max(spark):
+    from osmgraft.operators.raster import rasterize
+
+    pts = spark.createDataFrame(
+        [(10.0, 10.0, 3), (10.0, 10.0, 9), (50.0, 50.0, 1)],
+        "lat double, lon double, imp long",
+    )
+    vals = sorted(
+        r["value"] for r in rasterize(pts, z=3, px=32, value_col="imp", agg="max").collect()
+    )
+    assert vals == [1, 9]
+
+
+def test_raster_vector_roundtrip(spark):
+    """vectorize() pixel rectangles must contain the points that rasterized
+    into them (inverse mercator inverts the forward transform)."""
+    from osmgraft.operators.raster import rasterize, vectorize
+
+    rng = np.random.default_rng(11)
+    data = [
+        (int(i), float(la), float(lo))
+        for i, (la, lo) in enumerate(zip(rng.uniform(-80, 80, 200), rng.uniform(-179, 179, 200)))
+    ]
+    pts = spark.createDataFrame(data, "pid long, lat double, lon double")
+    rect = vectorize(rasterize(pts, z=5, px=32), px=32)
+    # brute-force: every point inside at least one rectangle whose value>0
+    rects = rect.collect()
+    pts_local = data
+    for pid, la, lo in pts_local[:50]:
+        hit = any(
+            min(r["ring_lats"]) - 1e-9 <= la <= max(r["ring_lats"]) + 1e-9
+            and min(r["ring_lons"]) - 1e-9 <= lo <= max(r["ring_lons"]) + 1e-9
+            for r in rects
+        )
+        assert hit, (pid, la, lo)
+
+
+def test_vectorize_feeds_pip(spark):
+    """vectorize output is consumable by pip_join (schema contract)."""
+    from osmgraft.operators.pip import pip_join
+    from osmgraft.operators.raster import rasterize, vectorize
+
+    pts = spark.createDataFrame(
+        [(1, 20.0, 30.0), (2, -40.0, 100.0)], "pid long, lat double, lon double"
+    )
+    polys = vectorize(rasterize(pts, z=3, px=16), px=16).select(
+        "poly_id", F.lit("px").alias("name"), "ring_lats", "ring_lons"
+    )
+    out = pip_join(pts, polys, strategy="broadcast")
+    assert out.count() == 2  # each point falls in its own pixel rectangle
