@@ -69,6 +69,19 @@ def main() -> None:
     docs = spark.read.parquet(docs_path)
     blobs = spark.read.parquet(blobs_path)
 
+    # untimed warm-up on a small doc slice: JIT, Arrow/pandas worker spin-up,
+    # codegen caches — so the timed numbers are steady-state engine
+    # throughput, not JVM cold-start (the target deployment is a long-lived
+    # cluster, not a fresh JVM per query)
+    def _warmup():
+        from osmgraft.operators.tiles import assign_tiles
+        from osmgraft.plans.pipeline import label_pipeline
+
+        small = docs.limit(2000)
+        assign_tiles(label_pipeline(spark, small, blobs), z=12).count()
+
+    _warmup()
+
     # q1: flagship — full pipeline to tiled labels (count materializes all)
     def q_pipeline():
         from osmgraft.operators.tiles import assign_tiles

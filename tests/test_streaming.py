@@ -1,0 +1,110 @@
+"""Structured Streaming ingest path: stateless node labeling, windowed
+histogram with watermark, foreachBatch batch-incremental full pipeline."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Documents+blobs written to disk (file streams need a directory)."""
+    from osmgraft.sources.synth import SynthParams, write_synth
+
+    root = str(tmp_path_factory.mktemp("stream_src"))
+    write_synth(spark, root, SynthParams(n_docs=400, seed=5), partitions=4)
+    return root
+
+
+def test_stream_node_labels_matches_batch(spark, staged, tmp_path):
+    """availableNow stream over the docs dir == the batch node-POI path."""
+    from osmgraft.streaming.ingest import stream_documents, stream_node_labels
+
+    blobs = spark.read.parquet(f"{staged}/blobs.parquet")
+    stream = stream_documents(spark, f"{staged}/documents.parquet")
+    assert stream.isStreaming
+    out = stream_node_labels(stream, blobs)
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("node_labels_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from node_labels_stream")
+
+    # batch reference: same slice of the pipeline
+    from osmgraft.plans.pipeline import admitted_node_pois, levels_df
+    from osmgraft.functions.labels import attach_label_ball
+    from osmgraft.functions.names import label_name_expr
+    from osmgraft.sources.config import default_config
+    from osmgraft.sources.decode import decode_documents
+
+    cfg = default_config()
+    docs = spark.read.parquet(f"{staged}/documents.parquet")
+    frames = decode_documents(docs, blobs)
+    batch = attach_label_ball(
+        admitted_node_pois(frames.node_pois, cfg, levels_df(spark, cfg)).withColumn(
+            "label_src", label_name_expr(F.col("tags"))
+        ),
+        cfg,
+        name_col="label_src",
+    )
+    got_set = {(r["osm_id"], r["label"], round(r["radius"], 6)) for r in got.collect()}
+    want_set = {
+        (r["osm_id"], r["label"], round(r["radius"], 6)) for r in batch.collect()
+    }
+    assert got_set == want_set
+    assert len(got_set) > 0
+    # tiles attached and in range
+    z12 = 1 << 12
+    for r in got.select("tile_x", "tile_y").collect():
+        assert 0 <= r["tile_x"] < z12 and 0 <= r["tile_y"] < z12
+
+
+def test_stream_tag_histogram_watermark(spark, staged, tmp_path):
+    from osmgraft.streaming.ingest import stream_documents, stream_tag_histogram
+
+    stream = stream_documents(spark, f"{staged}/documents.parquet")
+    hist = stream_tag_histogram(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("tag_hist_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only closed windows; with a single micro-batch the
+    # watermark hasn't advanced past the window, so rows may be 0 — the
+    # contract here is that the plan is a VALID streaming agg (it started
+    # and terminated cleanly with bounded state).
+    assert not q.isActive
+    assert q.lastProgress is not None
+
+
+def test_foreach_batch_full_pipeline(spark, staged, tmp_path):
+    """Batch-incremental mode: full pipeline per micro-batch, appended to
+    parquet; output rows match the one-shot batch pipeline on the same docs."""
+    from osmgraft.plans.pipeline import label_pipeline
+    from osmgraft.streaming.ingest import stream_documents, stream_pipeline_foreach_batch
+
+    blobs = spark.read.parquet(f"{staged}/blobs.parquet")
+    stream = stream_documents(spark, f"{staged}/documents.parquet", max_files=2)
+    out_path = str(tmp_path / "labels_out")
+    q = stream_pipeline_foreach_batch(
+        spark, stream, blobs, out_path, str(tmp_path / "ckpt_fb")
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_path)
+    docs = spark.read.parquet(f"{staged}/documents.parquet")
+    want = label_pipeline(spark, docs, blobs)
+    # per-batch rank is per-micro-batch (documented); compare the label sets
+    got_set = {(r["osm_id"], r["label"]) for r in got.collect()}
+    want_set = {(r["osm_id"], r["label"]) for r in want.collect()}
+    assert got_set == want_set

@@ -47,7 +47,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SEED = 42
-LO, HI = 8, 32
+LO, HI = 8, 32  # overridden by --lo/--hi
 
 
 def stage_input(n_docs: int) -> str:
@@ -153,6 +153,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=0)
     ap.add_argument("--docs", type=int, default=int(os.environ.get("OSMGRAFT_SCALE_DOCS", "480000")))
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
     ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
 
@@ -160,6 +162,9 @@ def main() -> None:
         child_main(args.cpus, args.docs, args.iters)
         return
 
+    global LO, HI
+    LO, HI = args.lo, args.hi
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     stage_input(args.docs)
     runs: dict[int, list[float]] = {LO: [], HI: []}
     calib: dict[int, list[float]] = {LO: [], HI: []}
@@ -185,7 +190,7 @@ def main() -> None:
     norm_eff = job_speedup / calib_speedup
 
     result = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{LO}_to_{HI}_cores",
         "value": round(raw_eff, 3),
         "normalized_vs_hw_ceiling": round(norm_eff, 3),
         "job_speedup": round(job_speedup, 3),
