@@ -220,6 +220,21 @@ def attach_label_ball(df, cfg, name_col: str = "name", icon_col: str = "icon", f
     ).drop("_ball")
 
 
+def format_balls_rows(df, sep: str = " ") -> Column:
+    """K2 balls-only row formatter (writeBallsFile,
+    textoutputhelper.cpp:38-65): ``lat sep lon sep importance sep radius``
+    with %.17f coords, sequential importance (== the global rank), radius
+    ceiled to 3 decimals."""
+    radius_ceiled = F.ceil(F.col("radius") * 1000) / 1000.0
+    return F.format_string(
+        f"%.17f{sep}%.17f{sep}%d{sep}%.3f",
+        F.col("lat"),
+        F.col("lon"),
+        F.col("rank"),
+        radius_ceiled,
+    )
+
+
 def format_complete_rows(df, sep: str = " ", export_hierarchy: bool = False) -> Column:
     """K1 row formatter (textoutputhelper.cpp:80-101):
     ``lat lon level|rank radius osm_id 'label' factor`` with %.17f coords,

@@ -13,8 +13,9 @@ ONE task, so the engine uses a two-phase rank:
    range shuffle, no single task) + tag rows with ``spark_partition_id``;
 2. materialize the sorted partitions once, count rows per partition (a
    tiny job over numPartitions values), prefix-sum on the driver;
-3. ``rank = offset[pid] + local index`` added by a narrow Arrow pass that
-   counts rows as each sorted partition streams through.
+3. ``rank = offset[pid] + local index`` added as a pure codegen
+   projection (array-literal offset lookup + the low 33 bits of
+   ``monotonically_increasing_id``) — no Python, no extra shuffle.
 
 The result is identical to ``row_number() OVER (ORDER BY ...)`` (tested),
 with no one-task stage over data. Total order is deterministic because
@@ -63,44 +64,36 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
     repeated pipeline runs don't accumulate cache entries. On a real
     cluster with executor churn, swap for a reliable checkpoint via the
     lineage module (plans/lineage.py) — same two-phase shape.
+
+    The index-attach pass is PURE CODEGEN: over the materialized
+    partitions, ``monotonically_increasing_id()`` is documented as
+    ``(partition_id << 33) | row_index_in_partition`` with the row index
+    counting in iteration (= sorted) order, so
+    ``rank = offset[partition] + (mid & (2^33-1))`` — an array-literal
+    lookup plus bit math, no Arrow round-trip of the data through Python
+    (the previous mapInPandas emit was ~40% of pipeline wall at 1M rows).
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
-
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     keys = sort_key_columns(df)
     sorted_df = (
         df.repartitionByRange(n_part, *keys)
         .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
     counts = {
         r["_pid"]: r["_cnt"]
-        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+        for r in sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
     }
-    offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    offset_by_pid = []
+    for pid in range(n_part):
+        offset_by_pid.append(acc)
+        acc += counts.get(pid, 0)
 
-    out_schema = StructType(
-        list(sorted_df.schema.fields) + [StructField(rank_col, LongType(), False)]
-    )
-
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            pdf = pdf.copy()
-            pdf[rank_col] = offsets[int(pdf["_pid"].iloc[0])] + local + pd.RangeIndex(n)
-            local += n
-            yield pdf
-
-    return sorted_df.mapInPandas(add_rank, schema=out_schema).drop("_pid")
+    offset_arr = F.array(*[F.lit(o).cast("long") for o in offset_by_pid])
+    local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    rank = F.element_at(offset_arr, F.spark_partition_id() + 1) + local_idx
+    return sorted_df.withColumn(rank_col, rank.cast("long"))

@@ -149,3 +149,10 @@ def format_complete(labels: DataFrame, sep: str = " ", export_hierarchy: bool = 
     """K1 text rows (without the count header — at 10^12 rows a single
     header line is written by the driver from ``df.count()``)."""
     return labels.select(format_complete_rows(labels, sep, export_hierarchy).alias("line"))
+
+
+def format_balls(labels: DataFrame, sep: str = " ") -> DataFrame:
+    """K2 balls-only text rows (writeBallsFile projection of K1)."""
+    from osmgraft.functions.labels import format_balls_rows
+
+    return labels.select(format_balls_rows(labels, sep).alias("line"))

@@ -123,3 +123,19 @@ def test_format_complete_row(spark):
     assert line == "48.77580000000000000 9.18290000000000000 5 130.001 42 'Stutt\\ngart' 30.000"
     line_eh = format_complete(df, export_hierarchy=True).collect()[0]["line"]
     assert line_eh.split(" ")[2] == "16"
+
+
+def test_format_balls_rows(spark):
+    """K2 (writeBallsFile, textoutputhelper.cpp:38-65): lat lon importance
+    radius, %.17f coords, ceil-3 radius."""
+    import pyspark.sql.functions as F
+
+    from osmgraft.plans.pipeline import format_balls
+
+    df = spark.createDataFrame(
+        [(48.5, 9.25, 0, 12.3456), (-1.0, 2.0, 1, 7.0001)],
+        "lat double, lon double, rank long, radius double",
+    )
+    lines = [r["line"] for r in format_balls(df).orderBy(F.col("line").desc()).collect()]
+    assert lines[0] == "48.50000000000000000 9.25000000000000000 0 12.346"
+    assert lines[1] == "-1.00000000000000000 2.00000000000000000 1 7.001"
