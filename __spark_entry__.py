@@ -287,6 +287,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = pip_join(pts, polys, strategy="broadcast")
         return out.select("pid", "poly_id")
 
+    # --- tiles: per-tile importance order (window partitioned by tile) ------------
+    def q_tile_topk(spark, sf):
+        from osmgraft.operators.tiles import tiles_with_order
+
+        pts = _pts(spark, sf).select(
+            F.col("pid").alias("osm_id"), "lat", "lon", F.col("pid").alias("rank")
+        )
+        out = tiles_with_order(pts, z=8)
+        return out.where(F.col("tile_pos") < 5).select(
+            "osm_id", "tile_x", "tile_y", "tile_pos"
+        )
+
+    # --- skew rail: salted aggregation == plain aggregation -----------------------
+    def q_salted_count(spark, sf):
+        from osmgraft.operators.skew import salted_count
+
+        li = _read(spark, sf, "lineitem").select(F.col("l_returnflag").alias("k"))
+        return salted_count(li, "k", n_salts=16)
+
+    # --- similarity: exact blocked pairwise kNN -----------------------------------
+    def q_pairwise_knn(spark, sf):
+        from osmgraft.operators.simsearch import pairwise_neighbors
+
+        emb = _read(spark, sf, "embeddings").where(F.col("vec_id") < 120).withColumn(
+            "blk", F.col("vec_id") % 4
+        )
+        out = pairwise_neighbors(emb, k=3, by_label="blk")
+        return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"), "rk")
+
+    # --- quality filter (thresholded features) ------------------------------------
+    def q_quality_filter(spark, sf):
+        from osmgraft.operators.textstats import quality_filter
+
+        d = _read(spark, sf, "documents")
+        return quality_filter(
+            d, min_words=5, max_punct_ratio=0.2, min_alpha_ratio=0.5
+        ).select("doc_id")
+
     # --- raster <-> vector -------------------------------------------------------
     def q_rasterize(spark, sf):
         from osmgraft.operators.raster import rasterize
@@ -481,6 +519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_rectangles": q_pip_boxes,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
+        "tile_topk": q_tile_topk,
+        "salted_count": q_salted_count,
+        "pairwise_knn": q_pairwise_knn,
+        "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "text_quality": q_quality,
@@ -618,6 +660,36 @@ def oracle_sql() -> dict[str, str]:
             "(n_nationkey % 9) * 9.0 - 40.5678 as la, (n_nationkey * 29 % 300) - 150.5678 as lo from nation) "
             f"select pid, poly_id from ({_PTS_SQL}) p, boxes "
             "where p.lat > la and p.lat < la + 8.1234 and p.lon > lo and p.lon < lo + 12.1234"
+        ),
+        "tile_topk": (
+            f"with t as (select pid as osm_id, "
+            f"least(cast(floor((lon+180.0)/360.0*256) as bigint), 255) as tile_x, "
+            f"cast(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) "
+            f"+ 1.0/cos(radians(least(greatest(lat, -85.05112878), 85.05112878))))/pi())/2.0*256), 0), 255) as bigint) as tile_y, "
+            f"pid as rank from ({_PTS_SQL}) p) "
+            "select osm_id, tile_x, tile_y, tile_pos from "
+            "(select osm_id, tile_x, tile_y, row_number() over "
+            "(partition by tile_x, tile_y order by rank asc) - 1 as tile_pos from t) s "
+            "where tile_pos < 5"
+        ),
+        "salted_count": (
+            "select l_returnflag as k, count(*) as count from lineitem group by 1"
+        ),
+        "pairwise_knn": (
+            "with e as (select vec_id, cast(embedding as double[]) as v, vec_id % 4 as blk "
+            "from embeddings where vec_id < 120), "
+            "scored as (select a.vec_id as id_a, b.vec_id as id_b, "
+            "list_cosine_similarity(a.v, b.v) as c from e a join e b "
+            "on a.blk = b.blk and a.vec_id <> b.vec_id), "
+            "ranked as (select id_a, id_b, c, row_number() over "
+            "(partition by id_a order by c desc, id_b asc) as rk from scored) "
+            "select id_a, id_b, round(c, 4) as cosine, rk from ranked where rk <= 3"
+        ),
+        "quality_filter": (
+            "select doc_id from documents where "
+            "len(string_split_regex(trim(text), '\\s+')) >= 5 and "
+            "cast(len(regexp_extract_all(text, '[^\\w\\s]')) as double)/length(text) <= 0.2 and "
+            "cast(len(regexp_extract_all(text, '[A-Za-z]')) as double)/length(text) >= 0.5"
         ),
         "rasterize_density": (
             f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
