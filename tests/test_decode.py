@@ -128,3 +128,31 @@ def test_tags_decode_matches_generator(spark, synth_small):
                 k, _, v = s["text"].partition("=")
                 want[k] = v
         assert got[d["doc_id"]] == want
+
+
+# --- S6: population TSV source (populationinput.cpp:42-62) -----------------------
+
+
+def test_population_tsv(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from osmgraft.sources.population import apply_population, read_population
+
+    tsv = tmp_path / "pop.tsv"
+    tsv.write_text(
+        "# comment line skipped\n"
+        "Stuttgart\t632743\n"
+        "Kleinstadt\t12x34\n"       # atoi: leading digits only -> 12
+        "Nowhere\tabc\n"            # atoi: non-numeric -> 0
+    )
+    pop = read_population(spark, str(tsv))
+    got = {r["name"]: r["population"] for r in pop.collect()}
+    assert got == {"Stuttgart": 632743, "Kleinstadt": 12, "Nowhere": 0}
+
+    pois = spark.createDataFrame(
+        [(1, "Stuttgart", 0), (2, "Kleinstadt", 999), (3, "Unknown", 0)],
+        "osm_id long, name string, population long",
+    )
+    out = {r["osm_id"]: r["population"] for r in apply_population(pois, pop).collect()}
+    # table fills only missing/zero; the POI's own tag value wins
+    assert out == {1: 632743, 2: 999, 3: 0}
