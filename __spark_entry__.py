@@ -363,6 +363,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
         )
 
+    # --- dedup: embedding-cosine near-dup (exact path == SQL oracle) ------------
+    def q_embedding_dup(spark, sf):
+        from osmgraft.operators.dedup import embedding_dup_pairs
+
+        emb = (
+            _read(spark, sf, "embeddings")
+            .where(F.col("vec_id") < 150)
+            .select("vec_id", "embedding")
+        )
+        dup = emb.where(F.col("vec_id") < 15).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+        pairs = embedding_dup_pairs(emb.unionByName(dup), threshold=0.99, exact=True)
+        return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
     # --- text quality ------------------------------------------------------------
     def q_quality(spark, sf):
         from osmgraft.operators.textstats import quality_features
@@ -525,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "embedding_dup_pairs": q_embedding_dup,
         "text_quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -718,6 +734,14 @@ def oracle_sql() -> dict[str, str]:
             "union all select doc_id + 1000000 as doc_id, text from documents) "
             "select doc_id from corpus where doc_id in "
             "(select min(doc_id) from corpus group by md5(text))"
+        ),
+        "embedding_dup_pairs": (
+            "with corpus as (select vec_id, embedding from embeddings where vec_id < 150 "
+            "union all select vec_id + 1000000 as vec_id, embedding from embeddings where vec_id < 15), "
+            "pairs as (select a.vec_id as id_a, b.vec_id as id_b, "
+            "list_cosine_similarity(cast(a.embedding as double[]), cast(b.embedding as double[])) as c "
+            "from corpus a join corpus b on a.vec_id < b.vec_id) "
+            "select id_a, id_b, round(c, 4) as cosine from pairs where c >= 0.99"
         ),
         "jaccard_pairs": (
             "with d as (select doc_id, text from documents where doc_id < 200), "

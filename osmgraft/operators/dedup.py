@@ -165,6 +165,64 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", **kwargs) -> DataFrame:
     return df.join(dupes, id_col, "left_anti")
 
 
+# --- embedding-cosine near-dup ----------------------------------------------------
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int | None = None,
+    exact: bool = False,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs with cosine >= threshold.
+
+    ``exact=True``: full self-join (the small-data / oracle path).
+    Default: multi-table hyperplane-LSH candidate buckets + exact cosine
+    re-check — the scale path; the bucket join shuffles signatures, not
+    vectors, and recall follows the standard 1-(1-p^k)^L curve.
+    """
+    from osmgraft.operators.simsearch import cosine_expr, lsh_signature_udf
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for the LSH path")
+        sigs = [lsh_signature_udf(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+        def bucketed(df: DataFrame, vec: str, idc: str) -> DataFrame:
+            tables = F.array(*[s(F.col(vec)) for s in sigs])
+            return df.select(idc, vec, F.posexplode(tables).alias("_t", "_b"))
+
+        cand = (
+            bucketed(a, "_va", "id_a")
+            .join(bucketed(b, "_vb", "id_b"), ["_t", "_b"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "_va", "id_b", "_vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    out = cand.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb"))).where(
+        F.col("cosine") >= threshold
+    )
+    return out.select("id_a", "id_b", "cosine")
+
+
+def embedding_dedup(
+    embeddings: DataFrame, threshold: float, id_col: str = "vec_id", **kwargs
+) -> DataFrame:
+    """Suppress every vector having a near-duplicate with a smaller id."""
+    pairs = embedding_dup_pairs(embeddings, threshold, id_col=id_col, **kwargs)
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dupes, id_col, "left_anti")
+
+
 # --- SimHash ----------------------------------------------------------------------
 
 

@@ -259,3 +259,36 @@ def test_tag_keys_stats_column(spark, synth_small):
     row = out.where(F.col("doc_id").startswith("node/")).select("tag_keys", "spans").first()
     span_keys = {s["text"].split("=", 1)[0] for s in row["spans"] if s["kind"] == "tag"}
     assert set(row["tag_keys"]) == span_keys
+
+
+# --- embedding-cosine near-dup ---------------------------------------------------
+
+
+def test_embedding_dedup_exact_vs_lsh(spark):
+    import numpy as np
+
+    from osmgraft.operators.dedup import embedding_dedup, embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    # near-duplicates of the first 6 vectors (tiny perturbation)
+    rows += [
+        (1000 + i, [float(x) for x in (base[i] + rng.normal(0, 1e-4, 16).astype("float32"))])
+        for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = embedding_dup_pairs(emb, threshold=0.999, exact=True)
+    got = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got == {(i, 1000 + i) for i in range(6)}
+
+    # LSH path: candidates are a superset-threshold check; with 8 tables the
+    # 6 true near-dup pairs must all be recovered
+    lsh = embedding_dup_pairs(emb, threshold=0.999, dim=16, n_planes=6, n_tables=8)
+    got_lsh = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert got_lsh == got
+
+    kept = embedding_dedup(emb, threshold=0.999, exact=True)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == set(range(60))  # all 1000+ dupes suppressed
