@@ -655,7 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "tag_histogram_detailed": (
             "with per_value as (select event_type as key, props as value, count(*) as value_count "
             "from events group by 1, 2), "
-            "per_key as (select key, count(distinct value) as n_values, sum(value_count) as key_count "
+            "per_key as (select key, count(distinct value) as n_values, cast(sum(value_count) as bigint) as key_count "
             "from per_value group by key) "
             "select v.key, v.value, v.value_count, k.n_values, k.key_count "
             "from per_value v join per_key k on v.key = k.key where k.n_values <= 500"

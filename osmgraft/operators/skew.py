@@ -24,9 +24,13 @@ from osmgraft.functions.cells import hex_cell_udf
 
 
 def salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt derived from a stable row attribute if present
-    (first long column != key) else a hash of all columns."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    """Salt independent of the row's columns: a hash of the key alone is a
+    no-op on key-only projections (every row of a hot key lands in one salt
+    bucket and the reduce side never splits). ``monotonically_increasing_id``
+    increments per row within a partition, so ``pmod`` cycles through all
+    ``n_salts`` values even when every column is the hot key itself. Only
+    valid for salt-distribution-independent aggregates (count/sum/min/max)."""
+    h = F.monotonically_increasing_id()
     return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 
 
@@ -48,6 +52,7 @@ def adaptive_cell_split(
     max_rows: int = 100_000,
     max_res: int = 12,
     cell_col: str = "cell",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Assign a mixed-resolution cell column: cells start at ``base_res``;
     any cell with more than ``max_rows`` rows is re-encoded one resolution
@@ -55,16 +60,28 @@ def adaptive_cell_split(
     out = df.withColumn(cell_col, hex_cell_udf(base_res)(F.col(lat_col), F.col(lon_col)))
     res = base_res
     while res < max_res:
+        # Hot cells stay a DataFrame broadcast into a left join — never a
+        # driver collect + isin literal: at the 10^12-row target the hot
+        # list can reach ~10^7 entries, and a 10^7-element IN-list in the
+        # plan (plus the driver materialization) kills the job. The only
+        # driver-side action is the loop-termination emptiness probe.
         counts = out.groupBy(cell_col).count()
-        hot = [r[cell_col] for r in counts.where(F.col("count") > max_rows).collect()]
-        if not hot:
+        hot = counts.where(F.col("count") > max_rows).select(cell_col)
+        if hot.isEmpty():
             break
         res += 1
         finer = hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
-        out = out.withColumn(
-            cell_col,
-            F.when(F.col(cell_col).isin(hot), finer).otherwise(F.col(cell_col)),
+        out = (
+            out.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), cell_col, "left")
+            .withColumn(cell_col, F.when(F.col("_hot").isNotNull(), finer).otherwise(F.col(cell_col)))
+            .drop("_hot")
         )
+        # Materialize per iteration: bounds plan growth to one join + one
+        # when regardless of how many refinement rounds run, and stops the
+        # next round's count from re-running every earlier round's encode.
+        # (checkpoint=False keeps the plan inspectable for tests.)
+        if checkpoint:
+            out = out.localCheckpoint(eager=True)
     return out
 
 

@@ -48,6 +48,21 @@ def test_salted_count(spark):
     assert got == want
 
 
+def test_salt_splits_key_only_frame(spark):
+    # Regression: a salt derived from a hash of the row's columns is a no-op
+    # on a key-only projection (every row of a hot key hashes identically and
+    # the reduce side never splits). Each hot key must land in >=2 salts.
+    from osmgraft.operators.skew import salt
+
+    df = spark.range(10000).select((F.col("id") % 2).cast("string").alias("k")).repartition(4)
+    salted = salt(df, "k", n_salts=8)
+    per_key = {
+        r["k"]: r["n"]
+        for r in salted.groupBy("k").agg(F.count_distinct("_salt").alias("n")).collect()
+    }
+    assert all(n >= 2 for n in per_key.values()), per_key
+
+
 def test_adaptive_cell_split(spark):
     import numpy as np
 
@@ -60,7 +75,7 @@ def test_adaptive_cell_split(spark):
     df = spark.createDataFrame(
         [(float(a), float(b)) for a, b in zip(lats, lons)], "lat double, lon double"
     )
-    out = adaptive_cell_split(df, base_res=5, max_rows=1000, max_res=9)
+    out = adaptive_cell_split(df, base_res=5, max_rows=1000, max_res=9, checkpoint=False)
     counts = out.groupBy("cell").count().collect()
     from osmgraft.functions.cells import unpack_hex
 
@@ -68,6 +83,10 @@ def test_adaptive_cell_split(spark):
     assert max(resolutions) > 5  # hot cells got split finer
     assert min(resolutions) == 5  # sparse cells untouched
     assert sum(r["count"] for r in counts) == 5500
+    # The hot-cell set must reach the plan as a broadcast join, never as a
+    # driver-collected IN-list literal (10^7 entries at the 10^12-row target).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert " IN " not in plan and "isin" not in plan.lower()
 
 
 def test_lineage_resume(spark, tmp_path):

@@ -22,6 +22,14 @@ ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 VIEWS = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _spark_dtype_kind(dt: str) -> str:
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if dt in ("float", "double"):
+        return "f"
+    return ""
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -70,6 +78,24 @@ def main():
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures += 1
             continue
+        # dtype-kind cross-check: the driver hashes values after a pandas
+        # fetch, where e.g. DuckDB HUGEINT (sum of BIGINT) lands as float64
+        # and renders "1981.0" against Spark's int64 "1981" — a hash
+        # mismatch invisible to the Python-object comparison below.
+        try:
+            ddf = con.execute(os_[name]).fetchdf()
+            kind_fail = False
+            for c in scols:
+                skind = _spark_dtype_kind(dict(sdf.dtypes)[c])
+                dkind = ddf[c].dtype.kind if c in ddf.columns else "?"
+                if skind and dkind in "if" and skind != dkind:
+                    print(f"FAIL {name}: dtype kind mismatch on {c}: spark {skind} vs duckdb-pandas {dkind}")
+                    kind_fail = True
+            if kind_fail:
+                failures += 1
+                continue
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"warn {name}: dtype cross-check skipped ({e})")
         # reorder duck columns to spark order
         idx = [dcols.index(c) for c in scols]
         sset = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
