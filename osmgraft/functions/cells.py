@@ -173,9 +173,13 @@ def hex_edge_deg(res: int) -> float:
     return _HEX_BASE_EDGE / (1 << res)
 
 
-def hex_cell(lat_deg, lon_deg, res: int) -> np.ndarray:
-    """Vectorized lat/lon -> hex cell id (axial q,r packed with res)."""
-    size = hex_edge_deg(res)
+def hex_cell(lat_deg, lon_deg, res) -> np.ndarray:
+    """Vectorized lat/lon -> hex cell id (axial q,r packed with res).
+
+    ``res`` may be a scalar or a per-row int array (mixed-resolution
+    encoding in one pass — used by the latitude-banded kNN join)."""
+    res_a = np.asarray(res, dtype=np.int64)
+    size = _HEX_BASE_EDGE / (np.int64(1) << res_a).astype(np.float64)
     x = np.asarray(lon_deg, dtype=np.float64)
     y = np.asarray(lat_deg, dtype=np.float64)
     qf = (_SQRT3 / 3.0 * x - y / 3.0) / size
@@ -189,11 +193,14 @@ def hex_cell(lat_deg, lon_deg, res: int) -> np.ndarray:
     rz = np.where(~((dx > dy) & (dx > dz)) & (dz > dy), -rx - ry, rz)
     q = rx.astype(np.int64)
     r = rz.astype(np.int64)
-    return pack_hex(q, r, res)
+    return pack_hex(q, r, res_a)
 
 
-def pack_hex(q, r, res: int):
-    return (np.int64(res) << np.int64(58)) | ((q + _HEX_OFF) << np.int64(29)) | (r + _HEX_OFF)
+def pack_hex(q, r, res):
+    res_a = np.asarray(res, dtype=np.int64)
+    qa = np.asarray(q, dtype=np.int64)
+    ra = np.asarray(r, dtype=np.int64)
+    return (res_a << np.int64(58)) | ((qa + _HEX_OFF) << np.int64(29)) | (ra + _HEX_OFF)
 
 
 def unpack_hex(cell):

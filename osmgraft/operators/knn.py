@@ -7,23 +7,62 @@ hex-cell disk(1) self-join: with cell edge chosen >= the search radius,
 every true neighbor within the radius lies in the 7-cell disk around the
 query point's cell, so the join is an equi-join on cell id (shuffle
 co-partitioned by cell; dense-city skew handled by operators/skew.py).
+
+Resolution is latitude-banded: the disk(1) guarantee must inflate the
+radius by 1/cos(lat) in longitude-degrees, and a single global resolution
+has to assume the worst latitude in the data — cells ~5x coarser than
+equatorial data needs, i.e. up to ~25x extra candidate pairs through the
+exact haversine filter. Each row is instead encoded ONCE at the finest
+resolution its own |lat| band supports (the resolution is packed into the
+cell id, so cells from different bands can never collide), and the whole
+search stays a single equi-join: right-side rows within the search radius
+of a band edge additionally emit the adjacent band's encoding, and rows
+near the antimeridian emit a lon+-360 replica, all produced in one
+vectorized kernel as an array<long> that Catalyst explodes. Polar caps
+(|lat| >= 84.26, where 1/cos blows up) collapse to one sentinel cell per
+hemisphere on both sides, which turns the cap search into an exact
+per-hemisphere brute-force join INSIDE the same equi-join — no extra
+plan branches, and the operator is correct at every latitude instead of
+silently missing neighbors near the poles.
 """
 
 from __future__ import annotations
 
 import math
+from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from osmgraft.functions.cells import hex_cell_udf, hex_edge_deg, hex_neighbors_expr
+from osmgraft.functions.cells import (
+    _HEX_BASE_EDGE,
+    hex_cell,
+    hex_cell_udf,
+    hex_edge_deg,
+    hex_neighbors_expr,
+    pack_hex,
+)
 
 EARTH_RADIUS_M = 6_371_008.8
 DEG_M = EARTH_RADIUS_M * math.pi / 180.0  # meters per degree latitude
 
+# |lat| band upper edges; cos at the edges: 0.700, 0.500, 0.250, 0.100.
+# Band b covers [_BAND_LO[b], _BAND_LO[b+1]); band 4 is the polar cap.
+_BAND_LO = np.array([0.0, 45.573, 60.0, 75.522, 84.261])
+POLAR_CAP_LAT = float(_BAND_LO[-1])
+# Sentinel "resolution" for the cap cells: above any real res (<=15), below
+# 32 so the packed id keeps the int64 sign bit clear.
+_SENTINEL_RES = 31
+
 
 def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Great-circle distance in meters — pure Catalyst expression."""
+    """Great-circle distance in meters — pure Catalyst expression.
+
+    Periodic in longitude (sin^2(dlon/2) is symmetric about 180), so it
+    needs no antimeridian special-casing; only the *cell grid* does.
+    """
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dphi = F.radians(lat2 - lat1)
     dlmb = F.radians(lon2 - lon1)
@@ -36,13 +75,145 @@ def res_for_radius(radius_m: float, min_cos_lat: float = 0.2) -> int:
     any point within ``radius_m`` of a query lies in the 7-cell disk around
     the query's cell. Sufficient condition: hex inradius (sqrt(3)/2 * edge,
     in plane degrees) >= the search radius in degrees, where longitude
-    degrees are inflated by 1/cos(lat) up to the supported latitude
-    (min_cos_lat=0.2 ~ |lat| 78.5). Finer res = fewer candidates."""
+    degrees are inflated by 1/cos(lat) up to the supported latitude.
+    Finer res = fewer candidates."""
     radius_deg = radius_m / (DEG_M * min_cos_lat)
     for res in range(15, -1, -1):
         if 0.866 * hex_edge_deg(res) >= radius_deg:
             return res
     return 0
+
+
+def _band_res(radius_m: float) -> tuple[np.ndarray, float]:
+    """Per-band resolutions (4 hex bands; guarantee holds out to the band
+    edge + the latitude margin so boundary replicas are covered too)."""
+    lat_margin = radius_m / DEG_M
+    res = []
+    for hi in _BAND_LO[1:]:
+        min_cos = math.cos(math.radians(min(hi + lat_margin, 89.9)))
+        res.append(res_for_radius(radius_m, min_cos_lat=min_cos))
+    return np.asarray(res, dtype=np.int64), lat_margin
+
+
+def _sentinel(lat: np.ndarray) -> np.ndarray:
+    """One constant cell per hemisphere: equi-joining on it IS the polar
+    brute-force join (exact haversine filters afterwards)."""
+    return pack_hex((lat > 0).astype(np.int64), np.zeros(len(lat), np.int64), _SENTINEL_RES)
+
+
+def _enc_banded(lat: np.ndarray, lon: np.ndarray, res: np.ndarray) -> np.ndarray:
+    """Encode at per-row res; rows with res == _SENTINEL_RES get the
+    hemisphere sentinel instead of a grid cell."""
+    cap = res == _SENTINEL_RES
+    out = hex_cell(lat, lon, np.where(cap, 0, res))
+    if cap.any():
+        out = np.where(cap, _sentinel(lat), out)
+    return out
+
+
+def _left_cell_udf(radius_m: float):
+    res_by_band, _ = _band_res(radius_m)
+
+    @F.pandas_udf("long")
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        band = np.digitize(np.abs(la), _BAND_LO[1:])
+        res = np.where(band < 4, res_by_band[np.clip(band, 0, 3)], _SENTINEL_RES)
+        return pd.Series(_enc_banded(la, lo, res))
+
+    return _enc
+
+
+def _right_cells_udf(radius_m: float):
+    res_by_band, lat_margin = _band_res(radius_m)
+
+    @F.pandas_udf("array<long>")
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        n = len(la)
+        ala = np.abs(la)
+        band = np.digitize(ala, _BAND_LO[1:])
+        own_res = np.where(band < 4, res_by_band[np.clip(band, 0, 3)], _SENTINEL_RES)
+
+        # boundary replica: within lat_margin of a band edge, also encode at
+        # the adjacent band's res so cross-band pairs survive the equi-join.
+        # (band widths >> margin, so at most one edge can be within margin.)
+        rep_res = np.full(n, -1, np.int64)
+        lower = (band >= 1) & (ala < _BAND_LO[np.clip(band, 1, 4)] + lat_margin)
+        rep_res[lower] = res_by_band[np.clip(band[lower] - 1, 0, 3)]
+        hi_edge = np.where(band < 4, _BAND_LO[np.clip(band + 1, 1, 4)], 90.0)
+        upper = (band < 4) & (ala >= hi_edge - lat_margin)
+        up_band = np.clip(band + 1, 0, 4)
+        rep_res[upper] = np.where(
+            up_band[upper] < 4, res_by_band[np.clip(up_band[upper], 0, 3)], _SENTINEL_RES
+        )
+        # adjacent bands may share a resolution (the radius can demand the
+        # same res on both sides of an edge) — then the "replica" would be
+        # the own cell again and every sliver pair would be emitted twice.
+        rep_res[rep_res == own_res] = -1
+
+        # antimeridian replica: the grid is a lon/lat plane, so a row near
+        # +-180 also emits its cell at lon -+ 360 (sentinels are lon-free
+        # and skip this). The exact haversine is periodic, so distances of
+        # replica matches are computed on the ORIGINAL coordinates.
+        grid_res = np.where(own_res == _SENTINEL_RES, np.where(rep_res >= 0, rep_res, 0), own_res)
+        edge = _HEX_BASE_EDGE / (np.int64(1) << grid_res).astype(np.float64)
+        lon_margin = radius_m / (DEG_M * np.maximum(np.cos(np.radians(la)), 0.05)) + 2 * edge
+        shift = np.where(lo > 180.0 - lon_margin, -360.0, np.where(lo < -180.0 + lon_margin, 360.0, 0.0))
+
+        cells = np.full((n, 4), -1, np.int64)
+        cells[:, 0] = _enc_banded(la, lo, own_res)
+        m = rep_res >= 0
+        if m.any():
+            cells[m, 1] = _enc_banded(la[m], lo[m], rep_res[m])
+        s = (shift != 0.0) & (own_res != _SENTINEL_RES)
+        if s.any():
+            cells[s, 2] = _enc_banded(la[s], lo[s] + shift[s], own_res[s])
+        sr = (shift != 0.0) & m & (rep_res != _SENTINEL_RES)
+        if sr.any():
+            cells[sr, 3] = _enc_banded(la[sr], lo[sr] + shift[sr], rep_res[sr])
+        return pd.Series(list(cells))
+
+    return _enc
+
+
+def _suffix_right(right: DataFrame) -> list[Column]:
+    return [F.col(c).alias(f"{c}_r") for c in right.columns]
+
+
+def _knn_candidates_at_res(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    res: int,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+) -> DataFrame:
+    """Single-resolution kernel (explicit ``res``): cell-pruned equi-join +
+    exact haversine. The caller owns the disk(1) containment guarantee."""
+    enc = hex_cell_udf(res)
+    l = left.withColumn("_cell", enc(F.col(left_cols[0]), F.col(left_cols[1])))
+
+    rlat, rlon = F.col(right_cols[0]), F.col(right_cols[1])
+    margin = F.lit(radius_m / DEG_M) / F.greatest(F.cos(F.radians(rlat)), F.lit(0.05)) + F.lit(
+        2 * hex_edge_deg(res)
+    )
+    east = right.where(rlon > 180.0 - margin).withColumn(right_cols[1] + "__s", rlon - 360.0)
+    west = right.where(rlon < -180.0 + margin).withColumn(right_cols[1] + "__s", rlon + 360.0)
+    shifted = east.unionByName(west)
+
+    def enc_right(df: DataFrame, lon_col: str) -> DataFrame:
+        out = df.withColumn("_cell_r", enc(rlat, F.col(lon_col)))
+        return out.select(_suffix_right(right) + [F.col("_cell_r")])
+
+    r_all = enc_right(right, right_cols[1]).unionByName(enc_right(shifted, right_cols[1] + "__s"))
+
+    l_exp = l.withColumn("_cand", F.explode(hex_neighbors_expr(F.col("_cell"), k=1))).drop("_cell")
+    pairs = l_exp.join(r_all, l_exp["_cand"] == r_all["_cell_r"]).drop("_cand", "_cell_r")
+    dist = haversine_m(
+        F.col(left_cols[0]), F.col(left_cols[1]), F.col(f"{right_cols[0]}_r"), F.col(f"{right_cols[1]}_r")
+    )
+    return pairs.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m)
 
 
 def knn_candidates(
@@ -54,41 +225,51 @@ def knn_candidates(
     right_cols: tuple[str, str] = ("lat", "lon"),
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_m`` — cell-pruned equi-join +
-    exact haversine filter. Right columns arrive suffixed with ``_r``."""
-    if res is None:
-        res = res_for_radius(radius_m)
-    enc = hex_cell_udf(res)
-    l = left.withColumn("_cell", enc(F.col(left_cols[0]), F.col(left_cols[1])))
+    exact haversine filter. Right columns arrive suffixed with ``_r``.
 
-    # antimeridian handling: the hex grid is a lon/lat plane, so points on
-    # opposite sides of +-180 land in distant cells. Replicate right-side
-    # rows near the seam with lon shifted by +-360 (cells computed on the
-    # shifted lon; the exact haversine is periodic so distances stay right),
-    # then drop duplicate matches.
-    rlat, rlon = F.col(right_cols[0]), F.col(right_cols[1])
-    margin = F.lit(radius_m / DEG_M) / F.greatest(F.cos(F.radians(rlat)), F.lit(0.05)) + F.lit(
-        2 * hex_edge_deg(res)
+    With ``res=None`` (default) the resolution is latitude-banded and the
+    whole search — all bands, antimeridian replicas, and polar caps — is
+    ONE equi-join over single-pass encodings of each side (see module
+    docstring). Pass an explicit ``res`` to force one global resolution.
+
+    No pair can be emitted twice: a right row emits at most one cell per
+    (resolution, lon-replica) pair, the left disk(1) holds 7 cells of one
+    resolution spanning < 1 plane-degree, and lon replicas sit ~360
+    plane-degrees apart — so per left row at most one of a right row's
+    emitted cells can land in the disk, and no dedup pass is needed.
+    """
+    if res is not None:
+        # the forced-res path replicates seam rows wholesale; a pair can
+        # match via both the original and the shifted replica only in the
+        # seam sliver, so dedup is confined there.
+        out = _knn_candidates_at_res(left, right, radius_m, res, left_cols, right_cols)
+        rlat_r, rlon_r = F.col(f"{right_cols[0]}_r"), F.col(f"{right_cols[1]}_r")
+        margin_r = F.lit(radius_m / DEG_M) / F.greatest(
+            F.cos(F.radians(rlat_r)), F.lit(0.05)
+        ) + F.lit(2 * hex_edge_deg(res))
+        in_seam = (rlon_r > 180.0 - margin_r) | (rlon_r < -180.0 + margin_r)
+        safe = out.where(~in_seam)
+        seam = out.where(in_seam)
+        return safe.unionByName(seam.dropDuplicates(seam.columns))
+
+    l = left.withColumn(
+        "_cell", _left_cell_udf(radius_m)(F.col(left_cols[0]), F.col(left_cols[1]))
     )
-    east = right.where(rlon > 180.0 - margin).withColumn(right_cols[1] + "__s", rlon - 360.0)
-    west = right.where(rlon < -180.0 + margin).withColumn(right_cols[1] + "__s", rlon + 360.0)
-    shifted = east.unionByName(west)
-
-    def enc_right(df: DataFrame, lon_col: str) -> DataFrame:
-        out = df.withColumn("_cell_r", enc(rlat, F.col(lon_col)))
-        return out.select(
-            [F.col(c).alias(f"{c}_r") for c in right.columns] + [F.col("_cell_r")]
-        )
-
-    r_all = enc_right(right, right_cols[1]).unionByName(enc_right(shifted, right_cols[1] + "__s"))
-
     l_exp = l.withColumn("_cand", F.explode(hex_neighbors_expr(F.col("_cell"), k=1))).drop("_cell")
-    pairs = l_exp.join(r_all, l_exp["_cand"] == r_all["_cell_r"]).drop("_cand", "_cell_r")
+    # (sentinel cells get 6 garbage "neighbors" from the offset arithmetic;
+    # they are ids no right row ever emits, so they match nothing.)
+
+    r_cells = _right_cells_udf(radius_m)(F.col(right_cols[0]), F.col(right_cols[1]))
+    r_exp = (
+        right.select(_suffix_right(right) + [F.explode(r_cells).alias("_cell_r")])
+        .where(F.col("_cell_r") != -1)
+    )
+
+    pairs = l_exp.join(r_exp, l_exp["_cand"] == r_exp["_cell_r"]).drop("_cand", "_cell_r")
     dist = haversine_m(
         F.col(left_cols[0]), F.col(left_cols[1]), F.col(f"{right_cols[0]}_r"), F.col(f"{right_cols[1]}_r")
     )
-    out = pairs.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m)
-    # a seam pair can match via both the original and the shifted replica
-    return out.dropDuplicates(out.columns)
+    return pairs.withColumn("dist_m", dist).where(F.col("dist_m") <= radius_m)
 
 
 def knn_join(

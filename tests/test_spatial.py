@@ -187,6 +187,43 @@ def test_dedup_labels_matches_bruteforce(spark):
     assert 0 < len(got) < n
 
 
+def test_knn_banded_matches_bruteforce_across_bands(spark):
+    # Points straddling the latitude band edges (45.573, 60, 75.522) and the
+    # polar cap threshold (84.261): the banded resolution choice must not
+    # lose pairs whose members fall in different bands, and the cap must be
+    # handled exactly (round 1 silently missed neighbors above |lat|~78.5).
+    from osmgraft.operators.knn import EARTH_RADIUS_M, knn_candidates
+
+    rng = np.random.default_rng(11)
+    centers = [(45.57, 10.0), (60.0, -20.0), (75.52, 170.0), (84.26, 0.0), (-86.0, 100.0), (88.5, -179.9)]
+    rows = []
+    i = 0
+    for clat, clon in centers:
+        for _ in range(25):
+            rows.append((i, float(clat + rng.normal(0, 0.01)), float(clon + rng.normal(0, 0.02))))
+            i += 1
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    radius = 1500.0
+
+    got = sorted(
+        (r["pid"], r["pid_r"])
+        for r in knn_candidates(df, df, radius).collect()
+        if r["pid"] < r["pid_r"]
+    )
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dl = math.radians(b[2] - a[2])
+        x = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(x))
+
+    want = sorted(
+        (a[0], b[0]) for a in rows for b in rows if a[0] < b[0] and hav(a, b) <= radius
+    )
+    assert got == want
+    assert len(want) > 100  # every cluster contributes pairs
+
+
 def test_knn_join_topk(spark):
     from osmgraft.operators.knn import knn_join
 
