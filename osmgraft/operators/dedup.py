@@ -53,13 +53,27 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (a, b) id pairs (a < b) with token-set Jaccard >= threshold —
     explode+join formulation (co-partitioned on token), identical to the
-    DuckDB oracle SQL."""
+    DuckDB oracle SQL when ``max_df`` is None.
+
+    ``max_df`` is the hot-token damping rail: the token equi-join is
+    quadratic in each token's document frequency, so one stopword in every
+    document turns it into an all-pairs bomb. With ``max_df`` set, tokens
+    appearing in more than ``max_df`` documents are dropped from BOTH the
+    intersection join and the set sizes — jaccard is then computed on the
+    damped token sets (internally consistent; equal to the true jaccard
+    whenever no token exceeds the cutoff, and the standard df-cutoff
+    candidate semantics otherwise: pairs that share only ultra-common
+    tokens stop surfacing, which is what near-dup mining wants)."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("w")
     )
+    if max_df is not None:
+        hot = tok.groupBy("w").agg(F.count("*").alias("_df")).where(F.col("_df") > max_df)
+        tok = tok.join(F.broadcast(hot.select("w")), "w", "left_anti")
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         tok.alias("a")
@@ -197,16 +211,21 @@ def embedding_dup_pairs(
             raise ValueError("dim required for the LSH path")
         sigs = [lsh_signature_udf(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
+        # bucket-join on (id, table, bucket) only — vectors would otherwise
+        # ride the posexplode x n_tables exchange (~8x amplification at
+        # dim~1k); they are re-joined once, by id, after pair dedup.
         def bucketed(df: DataFrame, vec: str, idc: str) -> DataFrame:
             tables = F.array(*[s(F.col(vec)) for s in sigs])
-            return df.select(idc, vec, F.posexplode(tables).alias("_t", "_b"))
+            return df.select(idc, F.posexplode(tables).alias("_t", "_b"))
 
         cand = (
             bucketed(a, "_va", "id_a")
             .join(bucketed(b, "_vb", "id_b"), ["_t", "_b"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "_va", "id_b", "_vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
+            .join(a, "id_a")
+            .join(b, "id_b")
         )
     out = cand.withColumn("cosine", cosine_expr(F.col("_va"), F.col("_vb"))).where(
         F.col("cosine") >= threshold
@@ -261,19 +280,46 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits,
-    verify Hamming distance within the bucket. (Standard multi-probe uses
-    several rotations; one prefix table is the demonstration variant.)"""
+    """Near-dup pairs by SimHash: multi-probe prefix tables + exact
+    Hamming verification.
+
+    A single prefix table misses every pair whose differing bits hit the
+    prefix. Standard multi-probe: ``n_tables`` rotations of the signature
+    (rotate-left by t*64/n_tables), each bucketed on its top
+    ``prefix_bits`` bits — a pair is a candidate if ANY rotation moves all
+    differing bits out of the prefix. With max_hamming << 64 the differing
+    bits cluster in <= max_hamming positions, so some rotation usually
+    clears them. The bucket join carries (id, sig, table, bucket) only;
+    sig is one long, and the exact ``bit_count(xor)`` verify runs in
+    codegen."""
     sh = simhash_udf()
     sig = df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("sig"))
-    sig = sig.withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+
+    def rotl(c, k: int):
+        if k == 0:
+            return c
+        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+    buckets = F.array(
+        *[
+            F.shiftrightunsigned(rotl(F.col("sig"), (64 * t) // n_tables), 64 - prefix_bits)
+            for t in range(n_tables)
+        ]
+    )
+    exp = sig.select("id", "sig", F.posexplode(buckets).alias("_t", "_b"))
     pairs = (
-        sig.alias("a")
-        .join(sig.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("hamming", F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))))
+        exp.alias("a")
+        .join(
+            exp.alias("b"),
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._b") == F.col("b._b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.sig").alias("_sa"), F.col("b.sig").alias("_sb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .where(F.col("hamming") <= max_hamming)
     )
-    return pairs.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
-    )
+    return pairs.select("id_a", "id_b", "hamming")

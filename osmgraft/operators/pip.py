@@ -81,8 +81,13 @@ def _pip_kernel_expr() -> callable:
         nxt_x = np.empty_like(flat_x)
         nxt_y[:-1] = flat_y[1:]
         nxt_x[:-1] = flat_x[1:]
-        nxt_y[ends - 1] = flat_y[starts]
-        nxt_x[ends - 1] = flat_x[starts]
+        # wrap-edge writes only for non-empty rings: a zero-length ring has
+        # ends-1 == starts-1, which would silently corrupt the previous
+        # ring's last edge (or index -1). Empty rings contribute no edges,
+        # so their rows fall out as 0 crossings = outside.
+        nz = lens > 0
+        nxt_y[ends[nz] - 1] = flat_y[starts[nz]]
+        nxt_x[ends[nz] - 1] = flat_x[starts[nz]]
 
         rid = np.repeat(np.arange(n), lens)
         py = lat.to_numpy()[rid]

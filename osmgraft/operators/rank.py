@@ -73,13 +73,20 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
     lookup plus bit math, no Arrow round-trip of the data through Python
     (the previous mapInPandas emit was ~40% of pipeline wall at 1M rows).
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # the conf can be non-numeric ("auto" on some platforms)
+        n_part = df.sparkSession.sparkContext.defaultParallelism
     keys = sort_key_columns(df)
     sorted_df = (
         df.repartitionByRange(n_part, *keys)
         .sortWithinPartitions(*keys)
         .localCheckpoint(eager=True)
     )
+    # offsets are indexed by the checkpointed frame's ACTUAL partition ids,
+    # not the requested count — never trust the two to agree
+    n_part = sorted_df.rdd.getNumPartitions()
 
     counts = {
         r["_pid"]: r["_cnt"]
@@ -87,6 +94,7 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
         .agg(F.count("*").alias("_cnt"))
         .collect()
     }
+    assert not counts or max(counts) < n_part, (max(counts), n_part)
     acc = 0
     offset_by_pid = []
     for pid in range(n_part):

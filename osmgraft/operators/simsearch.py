@@ -91,18 +91,24 @@ def ann_topk(
     """
     sigs = [lsh_signature_udf(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
+    # The bucket join carries (id, table, bucket) ONLY — at dim~1k a float
+    # vector riding the posexplode x n_tables exchange would amplify
+    # shuffle bytes by ~8x. Vectors are re-joined once, by id, after the
+    # candidate pairs are deduped.
     def bucketed(df: DataFrame, vec: str, keep: list[str]) -> DataFrame:
         tables = F.array(*[s(F.col(vec)) for s in sigs])
         return df.select(*keep, F.posexplode(tables).alias("_t", "_b"))
 
-    base = bucketed(embeddings, vec_col, [id_col, vec_col])
+    base = bucketed(embeddings, vec_col, [id_col])
     qs = bucketed(
-        queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv")), "_qv", [q_id_col, "_qv"]
+        queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv")), "_qv", [q_id_col]
+    )
+    cand_ids = qs.join(base, ["_t", "_b"]).select(q_id_col, id_col).dropDuplicates(
+        [q_id_col, id_col]
     )
     cand = (
-        qs.join(base, ["_t", "_b"])
-        .select(q_id_col, id_col, "_qv", vec_col)
-        .dropDuplicates([q_id_col, id_col])
+        cand_ids.join(embeddings.select(id_col, vec_col), id_col)
+        .join(queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv")), q_id_col)
         .withColumn("cosine", cosine_expr(F.col(vec_col), F.col("_qv")))
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(32g, ~70% of MemAvailable) — generous where the host allows,
+    spill-not-OOM where it doesn't. SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(32, int(avail_gb * 0.7)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "osmgraft",
     cores: int | None = None,
@@ -47,8 +61,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # local mode: the driver heap IS the executor heap for all N
         # worker threads; 8g at local[32] measurably thrashes G1
-        # (42s -> 17s pipeline effect), so default generously
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # (42s -> 17s pipeline effect), so default generously — but cap
+        # at ~70% of the host's available RAM so small machines spill
+        # instead of driving the OS into OOM
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -20,16 +20,24 @@ def read_population(spark: SparkSession, path: str) -> DataFrame:
     from osmgraft.functions.classify import atoi_expr
 
     raw = spark.read.csv(path, sep="\t", comment="#", schema="name string, pop_raw string")
-    return raw.select(
+    parsed = raw.select(
         "name", F.coalesce(atoi_expr(F.col("pop_raw")), F.lit(0)).alias("population")
     )
+    # one row per name: the reference's std::map::insert keeps the first
+    # entry per name (populationinput.cpp:56-60); file order is not a
+    # DataFrame notion, so deterministically keep the smallest population
+    # of the duplicates. Without this, a repeated name would fan out the
+    # broadcast join in apply_population and duplicate POI rows.
+    return parsed.groupBy("name").agg(F.min("population").alias("population"))
 
 
 def apply_population(pois: DataFrame, population: DataFrame, name_col: str = "name") -> DataFrame:
     """Fill missing/zero tag-population from the table (left broadcast
     join on the resolved name; tag value wins when present, matching the
     reference where the POI's own tags drive the sort key)."""
-    pop = population.select(
+    # defensive re-aggregation: a caller-supplied table with a repeated
+    # name would otherwise fan out the join and duplicate POI rows
+    pop = population.groupBy("name").agg(F.min("population").alias("population")).select(
         F.col("name").alias("_pname"), F.col("population").alias("_pop_tbl")
     )
     joined = pois.join(F.broadcast(pop), pois[name_col] == F.col("_pname"), "left")

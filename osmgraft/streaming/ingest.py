@@ -141,7 +141,17 @@ def stream_pipeline_foreach_batch(
         out = label_pipeline(spark, batch_docs, blobs, cfg=cfg)
         if extra is not None:
             out = extra(out)
-        out.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(out_path)
+        # foreachBatch is at-least-once: a replayed epoch must land in the
+        # same place, not append a second copy. partitionBy(_epoch) +
+        # dynamic partition overwrite rewrites ONLY this epoch's partition,
+        # leaving completed epochs untouched — idempotent resume.
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

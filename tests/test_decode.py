@@ -156,3 +156,22 @@ def test_population_tsv(spark, tmp_path):
     out = {r["osm_id"]: r["population"] for r in apply_population(pois, pop).collect()}
     # table fills only missing/zero; the POI's own tag value wins
     assert out == {1: 632743, 2: 999, 3: 0}
+
+
+def test_population_duplicate_names_no_fanout(spark, tmp_path):
+    # The reference's std::map::insert keeps one entry per name; a repeated
+    # name in the TSV must neither fan out the join (duplicating POI rows)
+    # nor be nondeterministic — we keep the smallest population.
+    from osmgraft.sources.population import apply_population, read_population
+
+    tsv = tmp_path / "pop_dup.tsv"
+    tsv.write_text("Springfield\t5000\nSpringfield\t9000\nShelbyville\t300\n")
+    pop = read_population(spark, str(tsv))
+    assert pop.count() == 2
+    pois = spark.createDataFrame(
+        [(1, "Springfield", 0), (2, "Shelbyville", 0)],
+        "osm_id long, name string, population long",
+    )
+    rows = apply_population(pois, pop).collect()
+    assert len(rows) == 2  # no fanout
+    assert {r["osm_id"]: r["population"] for r in rows} == {1: 5000, 2: 300}

@@ -103,6 +103,90 @@ def test_simhash_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_multiprobe_beats_single_table(spark, docs):
+    # Near-dup twins whose signature diffs land in the top prefix bits are
+    # invisible to a single prefix table; the rotated multi-probe tables
+    # must recover them. Recall is measured against exact Hamming truth.
+    import hashlib
+
+    import numpy as np
+
+    from osmgraft.operators.dedup import simhash_pairs
+
+    base = docs.limit(40).select("doc_id", "text")
+    twins = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq xv qj")).alias("text"),
+    )
+    corpus = base.unionByName(twins)
+
+    # exact truth from the same signature definition, computed locally
+    def h64(w):
+        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+
+    def sig_of(t):
+        hs = np.array([h64(w) for w in t.split()], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        s = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            s |= np.uint64(1) << np.uint64(b)
+        return s
+
+    rows = corpus.collect()
+    sigs = {r["doc_id"]: sig_of(r["text"]) for r in rows}
+    max_h = 10
+    truth = set()
+    prefix_hit = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = int(sigs[a] ^ sigs[b])
+            if bin(x).count("1") <= max_h:
+                truth.add((a, b))
+                if x >> 48:  # any differing bit in the top 16 = prefix zone
+                    prefix_hit.add((a, b))
+    assert prefix_hit, "fixture must contain prefix-differing near-dup pairs"
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=1).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=4).collect()
+    }
+    assert single <= truth and multi <= truth  # verify step admits no junk
+    assert single.isdisjoint(prefix_hit)  # single table provably misses these
+    assert multi > single  # rotations recover pairs the prefix killed
+    assert len(multi & prefix_hit) > 0
+
+
+def test_jaccard_hot_token_damping(spark):
+    from osmgraft.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the alpha beta gamma"),
+            (2, "the alpha beta delta"),
+            (3, "the unrelated words entirely"),
+            (4, "the other stuff altogether"),
+        ],
+        "doc_id long, text string",
+    )
+    # undamped: every doc pairs through "the" at threshold 0
+    full = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(df, threshold=0.01).collect()}
+    assert (3, 4) in full
+    # df cutoff 2 drops "the" (df=4); only real overlap survives, and the
+    # jaccard is computed on the damped sets (2/4 for docs 1-2)
+    damped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.01, max_df=2).collect()
+    }
+    assert set(damped) == {(1, 2)}
+    assert abs(damped[(1, 2)] - 2 / 4) < 1e-12
+
+
 # --- similarity search --------------------------------------------------------
 
 

@@ -157,6 +157,33 @@ def test_pip_join_matches_bruteforce(spark, pip_data, strategy):
 # --- kNN dedup ------------------------------------------------------------------
 
 
+def test_pip_kernel_empty_ring_guard(spark):
+    # An empty ring made ends-1 == starts-1: the wrap-edge write landed on
+    # the PREVIOUS ring's last edge (or index -1), silently flipping other
+    # rows' results. Empty rings must test as outside, neighbors unharmed.
+    from osmgraft.operators.pip import _pip_kernel_expr
+
+    inside = _pip_kernel_expr()
+    sq_lats = [0.0, 0.0, 10.0, 10.0, 0.0]
+    sq_lons = [0.0, 10.0, 10.0, 0.0, 0.0]
+    rows = [
+        (5.0, 5.0, [], []),
+        (5.0, 5.0, sq_lats, sq_lons),
+        (15.0, 5.0, sq_lats, sq_lons),
+        (5.0, 5.0, [], []),
+    ]
+    df = spark.createDataFrame(
+        rows, "lat double, lon double, ring_lats array<double>, ring_lons array<double>"
+    ).coalesce(1)  # one Arrow batch so rows share the flattened edge arrays
+    got = [
+        r["in_"]
+        for r in df.select(
+            inside("lat", "lon", "ring_lats", "ring_lons").alias("in_")
+        ).collect()
+    ]
+    assert got == [False, True, False, False]
+
+
 def test_dedup_labels_matches_bruteforce(spark):
     from osmgraft.operators.knn import dedup_labels, EARTH_RADIUS_M
 

@@ -108,3 +108,17 @@ def test_foreach_batch_full_pipeline(spark, staged, tmp_path):
     got_set = {(r["osm_id"], r["label"]) for r in got.collect()}
     want_set = {(r["osm_id"], r["label"]) for r in want.collect()}
     assert got_set == want_set
+
+    # idempotent resume: replaying the same epochs (fresh checkpoint, same
+    # input, same epoch ids) must OVERWRITE the per-epoch partitions, not
+    # append a second copy — foreachBatch is at-least-once.
+    n_first = got.count()
+    q2 = stream_pipeline_foreach_batch(
+        spark,
+        stream_documents(spark, f"{staged}/documents.parquet", max_files=2),
+        blobs,
+        out_path,
+        str(tmp_path / "ckpt_fb_replay"),
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out_path).count() == n_first
