@@ -63,6 +63,89 @@ _PTS_SQL = (
 )
 
 
+_MEDIA_ORACLE_PATH = "/tmp/osmgraft_media_oracle.parquet"
+
+
+def _stage_media_oracle(n: int = 200) -> str:
+    """Deterministic opaque-media parquet staged WITHOUT Spark (pyarrow),
+    so it exists before either side of the multimodal oracle runs. The
+    payload rule is the table's definition: both Spark (length(payload))
+    and DuckDB (octet_length) measure the same staged bytes."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(_MEDIA_ORACLE_PATH):
+        return _MEDIA_ORACLE_PATH
+    ids, mimes, payloads = [], [], []
+    for i in range(n):
+        seed = hashlib.blake2b(str(i).encode(), digest_size=32).digest()
+        length = 64 + (i * 37) % 448
+        payload = (seed * ((length // 32) + 1))[:length]
+        ids.append(i)
+        mimes.append(("image/png", "audio/wav", "video/mp4")[i % 3])
+        payloads.append(payload)
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pq.write_table(table, _MEDIA_ORACLE_PATH)
+    return _MEDIA_ORACLE_PATH
+
+
+def _s2_oracle_sql(level: int = 12) -> str:
+    """Bit-exact DuckDB replica of osmgraft.functions.cells.s2_cell_id over
+    the shared pts derivation: face selection + quadratic (u,v)->(s,t) +
+    the 4-bit Hilbert lookup walk, with the lookup table embedded as a
+    4096-element literal list. IEEE float ops (cos/sin/div/sqrt) reproduce
+    numpy's bit-for-bit on this platform (verified over all sf rows)."""
+    from osmgraft.functions.cells import _LOOKUP_POS
+
+    lut = "[" + ",".join(str(int(v)) for v in _LOOKUP_POS) + "]"
+    fc = (
+        "case face when 0 then 0 when 1 then 2305843009213693952 "
+        "when 2 then 4611686018427387904 when 3 then 6917529027641081856 "
+        "when 4 then -9223372036854775808 else -6917529027641081856 end"
+    )
+    lsb = 1 << (2 * (30 - level))
+    rounds = "".join(
+        f"h{8 - k} as (select pid, face, i, j, n | ((b::bigint >> 2) << {8 * k}) as n, "
+        f"(b & 3)::bigint as o from (select *, {lut}"
+        f"[(((i >> {4 * k}) & 15) << 6) + (((j >> {4 * k}) & 15) << 2) + o + 1] as b "
+        f"from h{7 - k}) t), "
+        for k in range(7, -1, -1)
+    )
+    return (
+        f"with pts as ({_PTS_SQL}), "
+        "xyz as (select pid, cos(radians(lat))*cos(radians(lon)) as x, "
+        "cos(radians(lat))*sin(radians(lon)) as y, sin(radians(lat)) as z from pts), "
+        "fuv as (select pid, face, "
+        "case face when 0 then y/x when 1 then -x/y when 2 then -x/z when 3 then z/x "
+        "when 4 then z/y else -y/z end as u, "
+        "case face when 0 then z/x when 1 then z/y when 2 then -y/z when 3 then y/x "
+        "when 4 then -x/y else -x/z end as v "
+        "from (select pid, x, y, z, "
+        "(case when abs(x) >= abs(y) and abs(x) >= abs(z) then (case when x < 0 then 3 else 0 end) "
+        "when abs(x) < abs(y) and abs(y) >= abs(z) then (case when y < 0 then 4 else 1 end) "
+        "else (case when z < 0 then 5 else 2 end) end) as face from xyz) t), "
+        "ij as (select pid, face, "
+        "least(greatest(cast(trunc((case when u >= 0 then 0.5*sqrt(1+3*u) "
+        "else 1-0.5*sqrt(1-3*u) end)*1073741824.0) as bigint), 0), 1073741823) as i, "
+        "least(greatest(cast(trunc((case when v >= 0 then 0.5*sqrt(1+3*v) "
+        "else 1-0.5*sqrt(1-3*v) end)*1073741824.0) as bigint), 0), 1073741823) as j "
+        "from fuv), "
+        "h0 as (select pid, face, i, j, 0::bigint as n, (face & 1)::bigint as o from ij), "
+        f"{rounds}"
+        f"leaf as (select pid, ({fc}) + n*2 + 1 as id from h8) "
+        f"select pid, ((id & ~({lsb} - 1)) | {lsb}) as s2_cell from leaf"
+    )
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -484,6 +567,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pts.select("pid", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"))
 
     def q_minhash_pairs(spark, sf):
+        # Oracled configuration: 32 single-row bands and token shingles
+        # (shingle_n=1). A pair with token-jaccard >= 0.6 misses all 32
+        # bands with probability <= 0.4^32 ~ 2e-13 — and xxhash64 on fixed
+        # data is deterministic, so on the sf tables the verified LSH
+        # output EQUALS the exact token-jaccard pairs the SQL computes
+        # (verified locally; recall failures would be permanent, not
+        # flaky). The scale configuration (banded rows, word 3-shingles)
+        # is exercised by pytest recall tests instead.
         from osmgraft.operators.dedup import minhash_lsh_pairs
 
         d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 300)
@@ -492,7 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
         )
         return minhash_lsh_pairs(
-            d.unionByName(dup), num_hashes=32, bands=16, verify_threshold=0.6
+            d.unionByName(dup), num_hashes=32, bands=32, shingle_n=1, verify_threshold=0.6
         ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
     def q_simhash_pairs(spark, sf):
@@ -503,17 +594,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_pairs(d.unionByName(dup), max_hamming=4, prefix_bits=12)
 
     def q_ann_lsh(spark, sf):
+        # Oracled configuration: dense tables (2 planes x 24 tables) give
+        # candidate recall 1.0 on the sf embeddings (deterministic: planes
+        # are seed-derived, data is fixed), so the LSH top-k EQUALS the
+        # brute-force top-k the SQL computes. Sparse scale configurations
+        # are covered by the pytest recall test.
         from osmgraft.operators.simsearch import ann_topk
 
         emb = _read(spark, sf, "embeddings")
         qs = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("q_id"), "embedding")
-        return ann_topk(emb, qs, k=5, dim=64, n_planes=6, n_tables=8)
+        return ann_topk(emb, qs, k=5, dim=64, n_planes=2, n_tables=24).select(
+            "q_id", "vec_id", "rk"
+        )
 
     def q_multimodal_features(spark, sf):
-        from osmgraft.operators.multimodal import extract_features, synth_media
+        from osmgraft.operators.multimodal import extract_features
 
-        media = synth_media(spark, 200, seed=SEED)
+        media = spark.read.parquet(_stage_media_oracle())
         return extract_features(media, dim=16).select("media_id", "n_bytes")
+
+    def q_dedup_labels_pts(spark, sf):
+        # J6 dedup semantics against a pure-SQL brute-force suppression:
+        # keep a point iff no lower-pid point lies within the radius.
+        from osmgraft.operators.knn import dedup_labels
+
+        pts = _pts(spark, sf).select("pid", F.col("pid").alias("rank"), "lat", "lon")
+        return dedup_labels(pts, radius_m=200_000.0, rank_col="rank", id_col="pid").select("pid")
 
     return {
         "filter_scan": q_filter_scan,
@@ -552,11 +658,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_pip_admin": q_osm_pip_admin,
         "osm_dedup_labels": q_osm_dedup_labels,
         "osm_adaptive_cells": q_osm_adaptive_cells,
+        # oracled engine-native queries (SQL replicas on the DuckDB side):
         "s2_cells": q_s2_cells,
         "minhash_lsh_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "dedup_labels_pts": q_dedup_labels_pts,
+        # rows-only (no ANSI-SQL equivalent: simhash needs xor/popcount over
+        # our exact blake2b token hashing):
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -790,5 +900,40 @@ def oracle_sql() -> dict[str, str]:
             "select o_custkey, o_orderkey, rn from (select o_custkey, o_orderkey, "
             "row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn "
             "from orders) t where rn <= 3"
+        ),
+        # ---- engine-native queries with SQL replicas ----
+        "s2_cells": _s2_oracle_sql(level=12),
+        "minhash_lsh_pairs": (
+            # exact token-jaccard pairs over the same derived corpus; the
+            # 32-single-row-band LSH config is full-recall on this data,
+            # so the verified candidates equal this set (see the query)
+            "with corpus as (select doc_id, text from documents where doc_id < 300 "
+            "union all select doc_id + 1000000 as doc_id, text || ' tailword' as text "
+            "from documents where doc_id < 30), "
+            f"tok as (select distinct doc_id as id, unnest({tok}) as w from corpus), "
+            "sizes as (select id, count(*) as sz from tok group by id), "
+            "inter as (select a.id as id_a, b.id as id_b, count(*) as i from tok a "
+            "join tok b on a.w = b.w and a.id < b.id group by 1, 2) "
+            "select id_a, id_b, round(cast(i as double)/(sa.sz + sb.sz - i), 4) as jaccard "
+            "from inter join sizes sa on id_a = sa.id join sizes sb on id_b = sb.id "
+            "where cast(i as double)/(sa.sz + sb.sz - i) >= 0.6"
+        ),
+        "ann_lsh_topk": (
+            "with q as (select vec_id as q_id, embedding as qv from embeddings where vec_id < 16), "
+            "scored as (select q.q_id, e.vec_id, "
+            "list_cosine_similarity(cast(e.embedding as double[]), cast(q.qv as double[])) as c "
+            "from embeddings e, q) "
+            "select q_id, vec_id, rk from (select q_id, vec_id, "
+            "row_number() over (partition by q_id order by c desc, vec_id asc) as rk "
+            "from scored) t where rk <= 5"
+        ),
+        "multimodal_features": (
+            f"select media_id, cast(octet_length(payload) as bigint) as n_bytes "
+            f"from read_parquet('{_stage_media_oracle()}')"
+        ),
+        "dedup_labels_pts": (
+            f"with p as ({_PTS_SQL}) "
+            "select a.pid from p a where not exists (select 1 from p b "
+            f"where b.pid < a.pid and {hav} <= 200000.0)"
         ),
     }
