@@ -59,11 +59,20 @@ def main() -> None:
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # the sandbox host delivers wildly variable CPU between runs (2-3x
+    # wall swings on identical jobs); report the per-query MEDIAN of
+    # several trials so a single co-tenancy spike doesn't pin a bogus
+    # number into the round record
+    trials = int(os.environ.get("OSMGRAFT_BENCH_TRIALS", "3"))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        out = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
         return out
 
     docs = spark.read.parquet(docs_path)
@@ -74,11 +83,32 @@ def main() -> None:
     # throughput, not JVM cold-start (the target deployment is a long-lived
     # cluster, not a fresh JVM per query)
     def _warmup():
+        from osmgraft.operators.dedup import minhash_lsh_pairs
+        from osmgraft.operators.knn import dedup_labels
+        from osmgraft.operators.pip import pip_join
         from osmgraft.operators.tiles import assign_tiles
         from osmgraft.plans.pipeline import label_pipeline
+        from osmgraft.sources.decode import decode_documents
 
         small = docs.limit(2000)
-        assign_tiles(label_pipeline(spark, small, blobs), z=12).count()
+        labels = label_pipeline(spark, small, blobs)
+        assign_tiles(labels, z=12).count()
+        # touch every timed path once so each query measures steady-state
+        # engine throughput, not its first-use codegen/Arrow spin-up
+        frames = decode_documents(small, blobs)
+        pip_join(
+            frames.node_pois.select("osm_id", "lat", "lon"),
+            frames.polygons,
+            strategy="partitioned",
+            res=4,
+        ).count()
+        dedup_labels(labels, radius_m=2000.0).count()
+        minhash_lsh_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").limit(200),
+            num_hashes=32,
+            bands=8,
+            verify_threshold=0.5,
+        ).count()
 
     _warmup()
 
