@@ -48,6 +48,51 @@ def label_name_expr(tags: Column) -> Column:
     )
 
 
+def import_name_literal_expr(entries: Column) -> Column:
+    """P3 LITERAL mode — reproduces the reference binary's get_name
+    (osminputhelper.cpp:478-513) including its bug: the official_name
+    branch sets the running max level to `name`'s 100 (line :504), so an
+    official_name encountered BEFORE a name suppresses the later name.
+    Order-dependent, so it folds over the ORDERED tag entries
+    (decode.tag_entries_expr), not the map."""
+    init = F.struct(F.lit("").alias("res"), F.lit(0).alias("lvl"))
+
+    def step(acc: Column, e: Column) -> Column:
+        k, v = e["key"], e["value"]
+        is_en = (k == F.lit("name:en")) & (acc["lvl"] < 50)
+        is_int = (k == F.lit("int_name")) & (acc["lvl"] < 70)
+        is_off = (k == F.lit("official_name")) & (acc["lvl"] < 80)
+        is_name = (k == F.lit("name")) & (acc["lvl"] < 100)
+        hit = is_en | is_int | is_off | is_name
+        res = F.when(hit, v).otherwise(acc["res"])
+        # the bug: official_name advances the level to 100, not 80; name's
+        # `break` is equivalent to its level-100 guard blocking everything
+        lvl = (
+            F.when(is_name | is_off, F.lit(100))
+            .when(is_int, F.lit(70))
+            .when(is_en, F.lit(50))
+            .otherwise(acc["lvl"])
+        )
+        return F.struct(res.alias("res"), lvl.alias("lvl"))
+
+    return F.aggregate(entries, init, step, lambda acc: acc["res"])
+
+
+def label_name_literal_expr(tags: Column) -> Column:
+    """P4 LITERAL mode — reproduces OsmPoi::getName (osmpoi.cpp:246-274),
+    whose Dom guards are inverted: a later name:de overrides an earlier
+    name and name:en overrides both, so the effective priority is
+    name:en > name:de > name — the reverse of the intended order. (Keys
+    are unique in a tag set, so this quirk is order-independent and the
+    map form suffices.)"""
+    return F.coalesce(
+        F.element_at(tags, F.lit("name:en")),
+        F.element_at(tags, F.lit("name:de")),
+        F.element_at(tags, F.lit("name")),
+        F.lit(UNDEFINED),
+    )
+
+
 def population_expr(tags: Column) -> Column:
     """O1 sort key: atoi(tags['population']) else 0 (osmpoi.cpp:67-75)."""
     from osmgraft.functions.classify import atoi_expr

@@ -269,12 +269,15 @@ def area_pois(
     shuffle + one narrow Arrow pass."""
     if packed is not None:
         cents = packed_area_centroids(packed, literal_bugs=literal_bugs)
-        tags_src = packed.select("rel_id", "tags")
+        meta = packed
     else:
         cents = area_centroids(
             relations, ways, nodes=nodes, segments=segments, literal_bugs=literal_bugs
         )
-        tags_src = relations.select("rel_id", "tags")
+        meta = relations
+    # carry the literal-name column when the decode produced one
+    extra = ["_name_lit"] if "_name_lit" in meta.columns else []
+    tags_src = meta.select("rel_id", "tags", *extra)
     return cents.join(tags_src, "rel_id").select(
-        F.col("rel_id").alias("osm_id"), "lat", "lon", "tags"
+        F.col("rel_id").alias("osm_id"), "lat", "lon", "tags", *extra
     )

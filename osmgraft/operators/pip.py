@@ -150,6 +150,10 @@ def pip_join(
     polys = _poly_with_bbox(polygons)
 
     if strategy == "auto":
+        # plan-build-time action, run ONCE on a count-only plan (column
+        # pruning reduces it to a parquet-metadata count when polygons is
+        # a plain scan). Callers building many joins over the same polygon
+        # set should pass an explicit strategy to avoid repeating it.
         n = polygons.count()
         strategy = "broadcast" if n <= broadcast_threshold else "partitioned"
 

@@ -30,19 +30,32 @@ def levels_df(spark: SparkSession, cfg: LabelConfig) -> DataFrame:
     return spark.createDataFrame(levels_rows(cfg), schema=LEVELS)
 
 
-def classify_pois(df: DataFrame, cfg: LabelConfig) -> DataFrame:
+def _name_col(df: DataFrame, literal_bugs: bool) -> F.Column:
+    """P3: intended fixed-priority coalesce, or (literal mode) the decoded
+    order-dependent ``_name_lit`` reproducing the reference's
+    official_name/name suppression bug (osminputhelper.cpp:504)."""
+    if literal_bugs and "_name_lit" in df.columns:
+        return F.col("_name_lit")
+    return import_name_expr(F.col("tags"))
+
+
+def classify_pois(df: DataFrame, cfg: LabelConfig, literal_bugs: bool = False) -> DataFrame:
     """P1 + C1 + P3 over a (osm_id, lat, lon, tags) frame."""
     return (
         df.where(filter_expr(cfg.filter_tree, F.col("tags")))
         .withColumn("level_id", level_expr(cfg, F.col("tags")))
-        .withColumn("name", import_name_expr(F.col("tags")))
+        .withColumn("name", _name_col(df, literal_bugs))
     )
 
 
-def admitted_node_pois(node_pois: DataFrame, cfg: LabelConfig, levels: DataFrame) -> DataFrame:
+def admitted_node_pois(
+    node_pois: DataFrame, cfg: LabelConfig, levels: DataFrame, literal_bugs: bool = False
+) -> DataFrame:
     """P7 node admission (osminputhelper.cpp:564-575): level defined AND
     (non-empty import-name OR icon level)."""
-    classified = classify_pois(node_pois, cfg).where(F.col("level_id") != 0)
+    classified = classify_pois(node_pois, cfg, literal_bugs=literal_bugs).where(
+        F.col("level_id") != 0
+    )
     with_lvl = classified.join(F.broadcast(levels), "level_id")
     return with_lvl.where((F.col("name") != "") | (F.col("icon") != "")).withColumn(
         "kind", F.lit("node")
@@ -74,7 +87,7 @@ def admitted_area_pois(
     classified = (
         pois.withColumn("level_id", level_expr(cfg, F.col("tags")))
         .where(F.col("level_id") != 0)
-        .withColumn("name", import_name_expr(F.col("tags")))
+        .withColumn("name", _name_col(pois, literal_bugs))
     )
     return classified.join(F.broadcast(levels), "level_id").withColumn("kind", F.lit("area"))
 
@@ -90,9 +103,9 @@ def extract_pois(
     (importPoiData, osminputhelper.cpp:706-734)."""
     cfg = cfg or default_config()
     levels = levels_df(spark, cfg)
-    frames = decode_documents(docs, blobs)
+    frames = decode_documents(docs, blobs, literal_names=literal_bugs)
 
-    nodes_part = admitted_node_pois(frames.node_pois, cfg, levels)
+    nodes_part = admitted_node_pois(frames.node_pois, cfg, levels, literal_bugs=literal_bugs)
     # packed fast path (preferred); falls back to the segments join when the
     # decode didn't produce a packed relations frame
     areas_part = admitted_area_pois(
@@ -117,7 +130,11 @@ def label_pipeline(
     (lat, lon, level_id, rank, radius, osm_id, label, factor)."""
     cfg = cfg or default_config()
     pois = extract_pois(spark, docs, blobs, cfg, literal_bugs=literal_bugs)
-    from osmgraft.functions.names import population_expr
+    from osmgraft.functions.names import label_name_literal_expr, population_expr
+
+    label_src_expr = (
+        label_name_literal_expr(F.col("tags")) if literal_bugs else label_name_expr(F.col("tags"))
+    )
 
     # label geometry BEFORE the global sort: the label UDF is a pure
     # function of (name, icon, factor), so ordering is irrelevant — and
@@ -125,7 +142,7 @@ def label_pipeline(
     # + checkpoint carry a fraction of the bytes
     labeled = attach_label_ball(
         pois.withColumn("population", population_expr(F.col("tags"))).withColumn(
-            "label_src", label_name_expr(F.col("tags"))
+            "label_src", label_src_expr
         ),
         cfg,
         name_col="label_src",

@@ -48,6 +48,20 @@ def _spans_sorted() -> Column:
     return F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
 
 
+def tag_entries_expr() -> Column:
+    """tag spans -> ORDERED array<struct<key,value>> (span-offset order =
+    the reference's tag-vector iteration order; needed by the literal
+    name-resolution mode, whose official_name/name quirk is
+    order-dependent — osminputhelper.cpp:497-509)."""
+    return F.transform(
+        F.filter(_spans_sorted(), lambda s: s["kind"] == F.lit("tag")),
+        lambda s: F.struct(
+            F.split_part(s["text"], F.lit("="), F.lit(1)).alias("key"),
+            F.regexp_replace(s["text"], F.lit("^[^=]*="), F.lit("")).alias("value"),
+        ),
+    )
+
+
 def tags_expr() -> Column:
     """tag spans -> map<string,string> (P2; key/value split on first '=')."""
     entries = F.transform(
@@ -125,19 +139,32 @@ _NODE_POI_SCHEMA = StructType(
 )
 
 
-def decode_node_pois(node_docs: DataFrame, blobs: DataFrame) -> DataFrame:
+def decode_node_pois(
+    node_docs: DataFrame, blobs: DataFrame, literal_names: bool = False
+) -> DataFrame:
     """Single-shuffle node-POI decode: (tags + first geom ref) extracted in
     one Catalyst pass over the docs, ONE equi-join with the blobs table,
     then a narrow Arrow kernel unpacks the fixed-size point payloads while
     tags ride through the batch. (The previous shape used three shuffles:
-    a blobs semi-join, a refs-points join, and a tags re-join.)"""
-    base = with_tags(node_docs).select(
+    a blobs semi-join, a refs-points join, and a tags re-join.)
+
+    ``literal_names=True`` additionally computes the reference binary's
+    order-dependent get_name result (``_name_lit``) from the ordered tag
+    spans BEFORE they collapse to a map — the only point in the plan where
+    tag order still exists."""
+    from osmgraft.functions.names import import_name_literal_expr
+
+    cols = [
         doc_osm_id().alias("osm_id"),
-        "tags",
+        tags_expr().alias("tags"),
         # a node doc carries exactly one geometry span (its position)
         F.element_at(geom_ref_array(), 1).alias("blob_id"),
-    )
-    joined = base.join(blobs, "blob_id").select("osm_id", "tags", "payload")
+    ]
+    if literal_names:
+        cols.append(import_name_literal_expr(tag_entries_expr()).alias("_name_lit"))
+    base = node_docs.select(*cols)
+    keep = ["osm_id", "tags"] + (["_name_lit"] if literal_names else [])
+    joined = base.join(blobs, "blob_id").select(*keep, "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,16 +173,20 @@ def decode_node_pois(node_docs: DataFrame, blobs: DataFrame) -> DataFrame:
             raw = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8).reshape(len(pdf), 17)
             assert (raw[:, 0] == geoblob.KIND_POINT).all(), "non-point blob for node doc"
             coords = raw[:, 1:].copy().view("<f8").reshape(len(pdf), 2)
-            yield pd.DataFrame(
-                {
-                    "osm_id": pdf["osm_id"],
-                    "lat": coords[:, 0],
-                    "lon": coords[:, 1],
-                    "tags": pdf["tags"],
-                }
-            )
+            out = {
+                "osm_id": pdf["osm_id"],
+                "lat": coords[:, 0],
+                "lon": coords[:, 1],
+                "tags": pdf["tags"],
+            }
+            if "_name_lit" in pdf.columns:
+                out["_name_lit"] = pdf["_name_lit"]
+            yield pd.DataFrame(out)
 
-    return joined.mapInPandas(kernel, schema=_NODE_POI_SCHEMA)
+    schema = _NODE_POI_SCHEMA
+    if literal_names:
+        schema = StructType(_NODE_POI_SCHEMA.fields + [StructField("_name_lit", StringType())])
+    return joined.mapInPandas(kernel, schema=schema)
 
 
 _SEGMENT_SCHEMA = StructType(
@@ -209,16 +240,21 @@ class DecodedFrames:
     rel_packed: DataFrame | None = None
 
 
-def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
+def decode_documents(
+    docs: DataFrame, blobs: DataFrame, literal_names: bool = False
+) -> DecodedFrames:
     """Full decode. Blob decodes are demand-driven: only blobs referenced by
     surviving documents are read (left-semi join = the reference's
-    requested-id passes J1/J2, osminputhelper.cpp:604-631)."""
+    requested-id passes J1/J2, osminputhelper.cpp:604-631).
+
+    ``literal_names=True`` carries the order-dependent literal import-name
+    (``_name_lit``) on node_pois and rel_packed for the fidelity mode."""
     node_docs = docs.where(F.col("doc_id").startswith("node/"))
     rel_docs = docs.where(F.col("doc_id").startswith("rel/"))
     admin_docs = docs.where(F.col("doc_id").startswith("admin/"))
 
     # --- node POIs (single-shuffle path) --------------------------------
-    node_pois = decode_node_pois(node_docs, blobs)
+    node_pois = decode_node_pois(node_docs, blobs, literal_names=literal_names)
 
     # --- relations + ways + nodes ---------------------------------------
     rel_refs = geom_refs(rel_docs).withColumn(
@@ -251,7 +287,12 @@ def decode_documents(docs: DataFrame, blobs: DataFrame) -> DecodedFrames:
         .where(F.col("_has_unknown") == 0)
         .select("rel_id", "mem", (F.col("_has_missing") == 1).alias("has_missing"))
     )
-    rel_tags = with_tags(rel_docs).select(doc_osm_id().alias("rel_id"), "tags")
+    rel_tag_cols = [doc_osm_id().alias("rel_id"), tags_expr().alias("tags")]
+    if literal_names:
+        from osmgraft.functions.names import import_name_literal_expr
+
+        rel_tag_cols.append(import_name_literal_expr(tag_entries_expr()).alias("_name_lit"))
+    rel_tags = rel_docs.select(*rel_tag_cols)
     rel_packed = rel_grouped.join(rel_tags, "rel_id")
 
     def _role_ids(role: int) -> Column:

@@ -121,3 +121,68 @@ def test_filter_spark_matches(spark):
     df = spark.createDataFrame([(t,) for t in cases], schema=schema)
     got = [r["ok"] for r in df.select(filter_expr(CFG.filter_tree, F.col("tags")).alias("ok")).collect()]
     assert got == [py_filter(CFG.filter_tree, t) for t in cases]
+
+
+def test_import_name_literal_order_dependence(spark):
+    # Reference get_name bug (osminputhelper.cpp:504): official_name sets
+    # the running max to name's level, so official_name-before-name
+    # suppresses the later name; name-first short-circuits.
+    from osmgraft.functions.names import import_name_literal_expr
+
+    cases = [
+        ([("official_name", "Off"), ("name", "N")], "Off"),   # the bug
+        ([("name", "N"), ("official_name", "Off")], "N"),     # break on name
+        ([("int_name", "I"), ("official_name", "Off")], "Off"),
+        ([("official_name", "Off"), ("int_name", "I")], "Off"),
+        ([("name:en", "E"), ("int_name", "I")], "I"),
+        ([("amenity", "bench")], ""),
+        ([], ""),
+    ]
+    schema = "entries array<struct<key:string,value:string>>"
+    df = spark.createDataFrame([([{"key": k, "value": v} for k, v in e],) for e, _ in cases], schema)
+    got = [r["n"] for r in df.select(import_name_literal_expr(F.col("entries")).alias("n")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_label_name_literal_inverted_dominance(spark):
+    # Reference getName (osmpoi.cpp:246-274): Dom guards are inverted, so
+    # the effective priority is name:en > name:de > name.
+    from osmgraft.functions.names import label_name_literal_expr
+
+    cases = [
+        ({"name": "N", "name:en": "E"}, "E"),
+        ({"name": "N", "name:de": "D"}, "D"),
+        ({"name": "N", "name:de": "D", "name:en": "E"}, "E"),
+        ({"name": "N"}, "N"),
+        ({}, "<undefined>"),
+    ]
+    schema = StructType([StructField("tags", MapType(StringType(), StringType()))])
+    df = spark.createDataFrame([(t,) for t, _ in cases], schema=schema)
+    got = [r["n"] for r in df.select(label_name_literal_expr(F.col("tags")).alias("n")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_literal_names_end_to_end(spark):
+    # Span order survives decode into _name_lit: an official_name span
+    # BEFORE a name span wins in literal mode, loses in default mode.
+    import pyspark.sql.functions as SF
+
+    from osmgraft.sources.decode import decode_documents
+    from osmgraft.sources.geoblob import pack_point
+
+    blobs = spark.createDataFrame([("b1", bytearray(pack_point(10.0, 20.0)))], "blob_id string, payload binary")
+    spans = [
+        {"kind": "tag", "text": "official_name=Official", "media_ref": None, "offset": 0},
+        {"kind": "tag", "text": "place=city", "media_ref": None, "offset": 1},
+        {"kind": "tag", "text": "name=Plain", "media_ref": None, "offset": 2},
+        {"kind": "geom", "text": None, "media_ref": "geom://b1", "offset": 3},
+    ]
+    docs = spark.createDataFrame(
+        [("node/1", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    lit = decode_documents(docs, blobs, literal_names=True).node_pois.collect()[0]
+    assert lit["_name_lit"] == "Official"
+    default = decode_documents(docs, blobs).node_pois.collect()[0]
+    assert "_name_lit" not in default.asDict()
+    assert default["tags"]["name"] == "Plain"

@@ -139,3 +139,29 @@ def test_format_balls_rows(spark):
     lines = [r["line"] for r in format_balls(df).orderBy(F.col("line").desc()).collect()]
     assert lines[0] == "48.50000000000000000 9.25000000000000000 0 12.346"
     assert lines[1] == "-1.00000000000000000 2.00000000000000000 1 7.001"
+
+
+def test_font_atlas_info_roundtrip(tmp_path):
+    # K3 analog: metrics -> .info export -> load gives identical widths,
+    # closing the loop on where broadcast metrics come from.
+    import json
+
+    from osmgraft.functions.fontmetrics import (
+        DEFAULT_METRICS,
+        create_font_atlas_info,
+        load_font_metrics,
+    )
+
+    alphabet = "ABLTVafijlmotw .-"
+    path = create_font_atlas_info(alphabet, "test_font", str(tmp_path))
+    loaded = load_font_metrics(path)
+    for s in ["AVATar", "LTfi", "mow mow", "fil", "T o", ""]:
+        assert loaded.text_width(s) == DEFAULT_METRICS.text_width(s), s
+    root = json.load(open(path))
+    # reference .info structure (font.cpp:297-360)
+    assert set(root) == {"advance", "alphabet", "atlas", "font", "glyph", "kerning"}
+    assert root["alphabet"] == "".join(sorted(set(alphabet)))
+    n = len(root["alphabet"])
+    assert len(root["advance"]) == n and len(root["kerning"]) == n
+    assert all(len(row) == n for row in root["kerning"])
+    assert root["glyph"]["mean_width"] >= 1
