@@ -129,9 +129,14 @@ _AREA_OUT = StructType(
 )
 
 
-def _finalize_batches(pos_key: str, literal_bugs: bool):
+def _finalize_batches(pos_key: str, literal_bugs: bool, passthrough: tuple[str, ...] = ()):
     """Batched A1+A2 kernel over packed (rel_id, mem) rows — thousands of
-    relations per Arrow batch, plain-Python inner loop bounded by P8."""
+    relations per Arrow batch, plain-Python inner loop bounded by P8.
+
+    ``passthrough`` columns (e.g. the tags map) ride through the kernel for
+    surviving rows, so relation metadata needs NO re-join after assembly —
+    a re-join would re-execute the whole member-join subtree a second time
+    (ReuseExchange does not fire across the differing projections)."""
     from collections.abc import Iterator
 
     def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,7 +144,8 @@ def _finalize_batches(pos_key: str, literal_bugs: bool):
             out_rel: list[int] = []
             out_lat: list[float] = []
             out_lon: list[float] = []
-            for rel_id, mem in zip(pdf["rel_id"], pdf["mem"]):
+            out_keep: list[int] = []
+            for row_i, (rel_id, mem) in enumerate(zip(pdf["rel_id"], pdf["mem"])):
                 segs: dict[int, list[int]] = {}
                 coords: dict[int, tuple[float, float]] = {}
                 outer_ids: list[tuple[int, int]] = []
@@ -165,15 +171,23 @@ def _finalize_batches(pos_key: str, literal_bugs: bool):
                 out_rel.append(int(rel_id))
                 out_lat.append(lat)
                 out_lon.append(lon)
-            yield pd.DataFrame({"rel_id": out_rel, "lat": out_lat, "lon": out_lon})
+                out_keep.append(row_i)
+            out = {"rel_id": out_rel, "lat": out_lat, "lon": out_lon}
+            for c in passthrough:
+                vals = pdf[c]
+                out[c] = [vals.iloc[i] for i in out_keep]
+            yield pd.DataFrame(out)
 
     return finalize
 
 
-def packed_area_centroids(rel_packed: DataFrame, literal_bugs: bool = False) -> DataFrame:
-    """(rel_id, lat, lon) straight from the decode stage's packed relations
-    (rel_id, mem, has_missing, tags) — zero extra shuffles: P9 and P8 are
-    Catalyst filters on the packed row, assembly is one narrow Arrow pass."""
+def packed_area_centroids(
+    rel_packed: DataFrame, literal_bugs: bool = False, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """(rel_id, lat, lon[, passthrough...]) straight from the decode stage's
+    packed relations (rel_id, mem, has_missing, tags) — zero extra
+    shuffles: P9 and P8 are Catalyst filters on the packed row, assembly is
+    one narrow Arrow pass, and metadata columns ride through the kernel."""
     outer_refs = F.aggregate(
         F.filter(F.col("mem"), lambda m: m["role"] == F.lit(0)),
         F.lit(0),
@@ -182,9 +196,12 @@ def packed_area_centroids(rel_packed: DataFrame, literal_bugs: bool = False) -> 
     src = (
         rel_packed.where(~F.col("has_missing"))  # P9 (:637-655)
         .where(outer_refs.between(1, MAX_OUTER_NODE_REFS))  # P8 (:226-235)
-        .select("rel_id", "mem")
+        .select("rel_id", "mem", *passthrough)
     )
-    return src.mapInPandas(_finalize_batches("ord", literal_bugs), schema=_AREA_OUT)
+    schema = StructType(
+        _AREA_OUT.fields + [rel_packed.schema[c] for c in passthrough]
+    )
+    return src.mapInPandas(_finalize_batches("ord", literal_bugs, passthrough), schema=schema)
 
 
 def area_centroids(
@@ -268,16 +285,20 @@ def area_pois(
     decode stage's single-shuffle relations frame) the whole path is one
     shuffle + one narrow Arrow pass."""
     if packed is not None:
-        cents = packed_area_centroids(packed, literal_bugs=literal_bugs)
-        meta = packed
-    else:
-        cents = area_centroids(
-            relations, ways, nodes=nodes, segments=segments, literal_bugs=literal_bugs
+        # tags (and the literal-name column when present) ride THROUGH the
+        # assembly kernel — re-joining them afterwards would execute the
+        # member-join subtree twice (projections differ, so ReuseExchange
+        # cannot deduplicate it)
+        extra = ["_name_lit"] if "_name_lit" in packed.columns else []
+        cents = packed_area_centroids(
+            packed, literal_bugs=literal_bugs, passthrough=tuple(["tags"] + extra)
         )
-        meta = relations
-    # carry the literal-name column when the decode produced one
-    extra = ["_name_lit"] if "_name_lit" in meta.columns else []
-    tags_src = meta.select("rel_id", "tags", *extra)
+        return cents.select(F.col("rel_id").alias("osm_id"), "lat", "lon", "tags", *extra)
+    cents = area_centroids(
+        relations, ways, nodes=nodes, segments=segments, literal_bugs=literal_bugs
+    )
+    extra = ["_name_lit"] if "_name_lit" in relations.columns else []
+    tags_src = relations.select("rel_id", "tags", *extra)
     return cents.join(tags_src, "rel_id").select(
         F.col("rel_id").alias("osm_id"), "lat", "lon", "tags", *extra
     )

@@ -95,15 +95,26 @@ def jaccard_pairs(
 # --- MinHash + LSH ---------------------------------------------------------------
 
 
-def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
-    """array<long> of per-permutation minima. Permutation i = xxhash64 with
-    seed column i — pure Catalyst, vectorized in codegen."""
+def shingle_hashes_expr(shingles: Column) -> Column:
+    """One xxhash64 pass over the shingle STRINGS. Keep this in its own
+    projection column: the per-permutation minima then re-hash only the
+    8-byte base values, so a num_hashes signature costs one string pass +
+    num_hashes cheap integer passes instead of num_hashes string passes.
+    (Integer mixing a_i*h+b_i would be cheaper still, but Spark 4 runs
+    ANSI mode by default and a wrapping multiply throws on overflow.)"""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature_expr(hashes: Column, num_hashes: int) -> Column:
+    """array<long> of per-permutation minima over pre-hashed shingles
+    (``shingle_hashes_expr``) — pure Catalyst, codegen."""
+
     def hasher(seed: int):
         # NB: must be an arity-1 lambda — F.transform treats a 2-arg lambda
         # as (element, index) and would silently pass the array index
-        return lambda s: F.xxhash64(F.lit(seed), s)
+        return lambda h: F.xxhash64(F.lit(seed), h)
 
-    mins = [F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
+    mins = [F.array_min(F.transform(hashes, hasher(i))) for i in range(num_hashes)]
     return F.array(*mins)
 
 
@@ -133,7 +144,11 @@ def minhash_lsh_pairs(
     # ReuseExchange compute it ONCE instead of three times (measured 2x
     # end-to-end on the sf0.1 documents table)
     base = base.repartition(F.col("id"))
-    sig = base.withColumn("sig", minhash_signature_expr(F.col("sh"), num_hashes))
+    # base-hash in its OWN projection so CollapseProject cannot inline the
+    # string pass into all num_hashes permutation minima
+    sig = base.withColumn("_h", shingle_hashes_expr(F.col("sh"))).withColumn(
+        "sig", minhash_signature_expr(F.col("_h"), num_hashes)
+    )
 
     band_arr = F.array(
         *[

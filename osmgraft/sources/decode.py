@@ -263,15 +263,21 @@ def decode_documents(
     seg_blobs = blobs.join(rel_refs.select("blob_id"), "blob_id", "leftsemi")
     segs = decode_segments(seg_blobs)
 
-    # member resolution: LEFT join so dangling refs surface as NULL way_id.
-    # ONE groupBy packs everything the area path needs (roles, ids AND
-    # coordinate arrays) so relation metadata + polygon assembly share a
-    # single shuffle (ReuseExchange dedupes it inside the pipeline plan).
+    # member resolution: INNER join (not left-outer) so the join can build
+    # on the SLIM refs side — dangling refs are detected by comparing the
+    # matched-member count against the per-relation ref count instead of
+    # surfacing NULL way_ids. With a left-outer join only the fat segs
+    # side is broadcastable (build must be the non-preserved side), so the
+    # coordinate arrays took a full blob_id shuffle BEFORE the unavoidable
+    # rel_id groupBy shuffle — measured as the pipeline's worst-scaling
+    # stage (1.6x for 4x cores on a membw-starved host). Inner + slim
+    # count join lets AQE broadcast the refs and the coords flow straight
+    # from decode into the ONE rel_id exchange.
     members = rel_refs.join(
         segs.select("blob_id", "role", "way_id", "node_ids", "lats", "lons"),
         "blob_id",
-        "left",
     )
+    ref_counts = rel_refs.groupBy("rel_id").agg(F.count("*").alias("_n_refs"))
     rel_grouped = (
         members.groupBy("rel_id")
         .agg(
@@ -281,12 +287,15 @@ def decode_documents(
                 )
             ).alias("mem"),
             F.max((F.col("role") == geoblob.ROLE_UNKNOWN).cast("int")).alias("_has_unknown"),
-            F.max(F.col("way_id").isNull().cast("int")).alias("_has_missing"),
+            F.count("*").alias("_n_matched"),
         )
         # unknown member role => relation ignored (osminputhelper.cpp:328-337)
         .where(F.col("_has_unknown") == 0)
-        .select("rel_id", "mem", (F.col("_has_missing") == 1).alias("has_missing"))
+        .join(ref_counts, "rel_id")
+        .select("rel_id", "mem", (F.col("_n_matched") < F.col("_n_refs")).alias("has_missing"))
     )
+    # (a relation whose refs ALL dangle vanishes here instead of carrying
+    # has_missing=true — identical downstream: P9 drops has_missing rels)
     rel_tag_cols = [doc_osm_id().alias("rel_id"), tags_expr().alias("tags")]
     if literal_names:
         from osmgraft.functions.names import import_name_literal_expr

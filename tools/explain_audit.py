@@ -134,6 +134,49 @@ def main() -> None:
     ]
     sections.append(("tile assignment — Catalyst only", p6, notes6))
 
+    # 7. banded kNN — ONE equi-join, no per-band plan branches, no IN-literal
+    from osmgraft.operators.knn import knn_candidates
+
+    pts_id = pts.withColumn("pid", F.monotonically_increasing_id())
+    q7 = knn_candidates(pts_id, pts_id.select("pid", "lat", "lon"), radius_m=2000.0)
+    p7 = plan_of(q7)
+    notes7 = [
+        f"single SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin equi-join: {len(re.findall(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p7))} join(s)",
+        f"no cartesian/BNLJ: {'Cartesian' not in p7 and 'BroadcastNestedLoopJoin' not in p7}",
+        f"haversine in codegen (ASIN/SIN in projection): {'ASIN' in p7 or 'asin' in p7.lower()}",
+    ]
+    sections.append(("banded kNN candidates — one equi-join at per-row res", p7, notes7))
+
+    # 8. adaptive cell split — hot cells via broadcast join, never an IN-literal
+    from osmgraft.operators.skew import adaptive_cell_split
+
+    q8 = adaptive_cell_split(pts, base_res=3, max_rows=50, max_res=5, checkpoint=False)
+    p8 = plan_of(q8)
+    notes8 = [
+        f"no driver IN-list literal: {' IN ' not in p8}",
+        f"hot set joined (BroadcastHashJoin): {'BroadcastHashJoin' in p8}",
+    ]
+    sections.append(("adaptive cell split — broadcast hot-cell join", p8, notes8))
+
+    # 9. embedding LSH dedup — bucket exchange carries ids only, no vectors
+    from osmgraft.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    q9 = embedding_dup_pairs(emb, 0.9, dim=64)
+    p9 = plan_of(q9)
+    ex_lines = [l for l in p9.splitlines() if "Exchange hashpartitioning" in l]
+    vec_in_exchange = False
+    for line in ex_lines:
+        m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", line)
+        if m and "embedding" in m.group(0):
+            vec_in_exchange = True
+    notes9 = [
+        f"hash exchanges: {len(ex_lines)}",
+        f"no embedding column in any exchange key: {not vec_in_exchange}",
+        f"posexplode buckets present: {'posexplode' in p9}",
+    ]
+    sections.append(("embedding LSH dedup — vector-free bucket exchange", p9, notes9))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
