@@ -48,7 +48,7 @@ def importance_sort(df: DataFrame) -> DataFrame:
     return df.orderBy(*sort_key_columns(df))
 
 
-def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
+def global_rank(df: DataFrame, rank_col: str = "rank", array_literal_max: int = 4096) -> DataFrame:
     """O2 at scale: two-phase row_number over the O1 order (0-based, like
     the reference's ``importance++``).
 
@@ -101,7 +101,25 @@ def global_rank(df: DataFrame, rank_col: str = "rank") -> DataFrame:
         offset_by_pid.append(acc)
         acc += counts.get(pid, 0)
 
-    offset_arr = F.array(*[F.lit(o).cast("long") for o in offset_by_pid])
     local_idx = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-    rank = F.element_at(offset_arr, F.spark_partition_id() + 1) + local_idx
-    return sorted_df.withColumn(rank_col, rank.cast("long"))
+    if n_part <= array_literal_max:
+        # small partition counts: offsets as a codegen array literal —
+        # zero extra operators in the plan
+        offset_arr = F.array(*[F.lit(o).cast("long") for o in offset_by_pid])
+        rank = F.element_at(offset_arr, F.spark_partition_id() + 1) + local_idx
+        return sorted_df.withColumn(rank_col, rank.cast("long"))
+    # large partition counts (the 100k-partition cluster case): a 100k-
+    # element array literal bloats every task's codegen — broadcast-join a
+    # tiny (pid, offset) frame instead; the big side is not reshuffled
+    # (broadcast hash join preserves its partitioning)
+    spark = sorted_df.sparkSession
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in enumerate(offset_by_pid)], "_pid int, _offset long"
+    )
+    return (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lidx", local_idx)
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_lidx")).cast("long"))
+        .drop("_pid", "_lidx", "_offset")
+    )

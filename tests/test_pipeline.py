@@ -163,3 +163,10 @@ def test_two_phase_rank_equals_window(spark, synth_small):
         for r in pois.withColumn("rank", F.row_number().over(w)).collect()
     }
     assert two_phase == window
+    # the 100k-partition emit path (broadcast-joined offsets frame instead
+    # of a codegen array literal) must produce the identical total order
+    joined = {
+        r["osm_id"]: r["rank"]
+        for r in global_rank(pois, array_literal_max=0).collect()
+    }
+    assert joined == window
