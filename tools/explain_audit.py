@@ -140,8 +140,9 @@ def main() -> None:
     pts_id = pts.withColumn("pid", F.monotonically_increasing_id())
     q7 = knn_candidates(pts_id, pts_id.select("pid", "lat", "lon"), radius_m=2000.0)
     p7 = plan_of(q7)
+    n_joins7 = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p7))
     notes7 = [
-        f"single SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin equi-join: {len(re.findall(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p7))} join(s)",
+        f"single equi-join (numbered operators): {n_joins7} join(s)",
         f"no cartesian/BNLJ: {'Cartesian' not in p7 and 'BroadcastNestedLoopJoin' not in p7}",
         f"haversine in codegen (ASIN/SIN in projection): {'ASIN' in p7 or 'asin' in p7.lower()}",
     ]
@@ -150,11 +151,12 @@ def main() -> None:
     # 8. adaptive cell split — hot cells via broadcast join, never an IN-literal
     from osmgraft.operators.skew import adaptive_cell_split
 
-    q8 = adaptive_cell_split(pts, base_res=3, max_rows=50, max_res=5, checkpoint=False)
+    q8 = adaptive_cell_split(pts, base_res=0, max_rows=2, max_res=2, checkpoint=False)
     p8 = plan_of(q8)
     notes8 = [
         f"no driver IN-list literal: {' IN ' not in p8}",
-        f"hot set joined (BroadcastHashJoin): {'BroadcastHashJoin' in p8}",
+        f"hot set reaches the plan as a join (AQE may pick broadcast or SMJ at runtime): "
+        f"{bool(re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p8))}",
     ]
     sections.append(("adaptive cell split — broadcast hot-cell join", p8, notes8))
 
