@@ -146,6 +146,49 @@ def _s2_oracle_sql(level: int = 12) -> str:
     )
 
 
+def _hex_cell_sql_expr(lat: str, lon: str, res: int) -> str:
+    """Bit-exact DuckDB replica of osmgraft.functions.cells.hex_cell:
+    axial coordinates + cube rounding + (res,q,r) bit-packing. round() is
+    half-away-from-zero in DuckDB vs numpy's half-to-even, but the inputs
+    are quotients of irrational products — an exact .5 fraction cannot
+    occur (verified bit-equal over all sf rows at several resolutions)."""
+    size = repr(5.12 / (1 << res))
+    off = 1 << 28
+    qf = f"((sqrt(3.0)/3.0*{lon} - {lat}/3.0)/{size})"
+    rf = f"((2.0/3.0*{lat})/{size})"
+    yf = f"(-{qf} - {rf})"
+    rx, ry, rz = f"round({qf})", f"round({yf})", f"round({rf})"
+    dx, dy, dz = f"abs({rx} - {qf})", f"abs({ry} - {yf})", f"abs({rz} - {rf})"
+    cond1 = f"({dx} > {dy} and {dx} > {dz})"
+    rx2 = f"(case when {cond1} then -{ry} - {rz} else {rx} end)"
+    rz2 = f"(case when not {cond1} and {dz} > {dy} then -{rx2} - {ry} else {rz} end)"
+    return (
+        f"(({res}::bigint << 58) | ((cast({rx2} as bigint) + {off}) << 29) "
+        f"| (cast({rz2} as bigint) + {off}))"
+    )
+
+
+def _adaptive_cells_sql(base_res: int, max_rows: int, max_res: int) -> str:
+    """SQL replica of skew.adaptive_cell_split over the pts derivation:
+    refinement round k re-encodes rows of over-full cells at res base+k
+    (a cell whose count never exceeded the cap is never touched, so the
+    unconditionally-chained rounds equal the engine's early-breaking loop)."""
+    parts = [f"e0 as (select pid, lat, lon, {_hex_cell_sql_expr('lat', 'lon', base_res)} as cell from p)"]
+    prev = "e0"
+    for k, res in enumerate(range(base_res + 1, max_res + 1), start=1):
+        parts.append(
+            f"c{k} as (select cell as _c{k}, count(*) as _n{k} from {prev} group by cell), "
+            f"e{k} as (select pid, lat, lon, case when _n{k} > {max_rows} "
+            f"then {_hex_cell_sql_expr('lat', 'lon', res)} else cell end as cell "
+            f"from {prev} join c{k} on cell = _c{k})"
+        )
+        prev = f"e{k}"
+    return (
+        f"with p as ({_PTS_SQL}), " + ", ".join(parts) +
+        f" select cell, count(*) as n from {prev} group by cell"
+    )
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -613,6 +656,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_media_oracle())
         return extract_features(media, dim=16).select("media_id", "n_bytes")
 
+    def q_hex_cells(spark, sf):
+        from osmgraft.functions.cells import hex_cell_udf
+
+        pts = _pts(spark, sf)
+        return pts.select("pid", hex_cell_udf(7)(F.col("lat"), F.col("lon")).alias("cell"))
+
+    def q_adaptive_cells_pts(spark, sf):
+        from osmgraft.operators.skew import adaptive_cell_split
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        out = adaptive_cell_split(pts, base_res=0, max_rows=5, max_res=3)
+        return out.groupBy("cell").agg(F.count("*").alias("n"))
+
     def q_dedup_labels_pts(spark, sf):
         # J6 dedup semantics against a pure-SQL brute-force suppression:
         # keep a point iff no lower-pid point lies within the radius.
@@ -664,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "dedup_labels_pts": q_dedup_labels_pts,
+        "hex_cells": q_hex_cells,
+        "adaptive_cells_pts": q_adaptive_cells_pts,
         # rows-only (no ANSI-SQL equivalent: simhash needs xor/popcount over
         # our exact blake2b token hashing):
         "simhash_pairs": q_simhash_pairs,
@@ -936,4 +994,9 @@ def oracle_sql() -> dict[str, str]:
             "select a.pid from p a where not exists (select 1 from p b "
             f"where b.pid < a.pid and {hav} <= 200000.0)"
         ),
+        "hex_cells": (
+            f"with p as ({_PTS_SQL}) "
+            f"select pid, {_hex_cell_sql_expr('lat', 'lon', 7)} as cell from p"
+        ),
+        "adaptive_cells_pts": _adaptive_cells_sql(base_res=0, max_rows=5, max_res=3),
     }
