@@ -630,11 +630,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
     def q_simhash_pairs(spark, sf):
+        # Oracled: the token hash equals DuckDB's md5_number_lower, so the
+        # SQL recomputes the signatures bit-exactly and enumerates all
+        # pairs within the Hamming budget; the 4 rotated prefix tables
+        # have candidate recall 1.0 on the sf data (deterministic), so the
+        # multi-probe output equals the brute-force SQL set.
         from osmgraft.operators.dedup import simhash_pairs
 
         d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 300)
         dup = d.where(F.col("doc_id") < 30).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        return simhash_pairs(d.unionByName(dup), max_hamming=4, prefix_bits=12)
+        return simhash_pairs(d.unionByName(dup), max_hamming=4, prefix_bits=12, n_tables=4)
 
     def q_ann_lsh(spark, sf):
         # Oracled configuration: dense tables (2 planes x 24 tables) give
@@ -722,8 +727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
-        # rows-only (no ANSI-SQL equivalent: simhash needs xor/popcount over
-        # our exact blake2b token hashing):
         "simhash_pairs": q_simhash_pairs,
     }
 
@@ -999,4 +1002,19 @@ def oracle_sql() -> dict[str, str]:
             f"select pid, {_hex_cell_sql_expr('lat', 'lon', 7)} as cell from p"
         ),
         "adaptive_cells_pts": _adaptive_cells_sql(base_res=0, max_rows=5, max_res=3),
+        "simhash_pairs": (
+            # bit-exact signature replay: h64(w) == md5_number_lower(w);
+            # majority vote per bit, two's-complement fold, exact Hamming
+            "with corpus as (select doc_id, text from documents where doc_id < 300 "
+            "union all select doc_id + 1000000 as doc_id, text from documents where doc_id < 30), "
+            f"tok as (select doc_id as id, unnest({tok}) as w from corpus), "
+            "bits as (select id, b, sum(case when (md5_number_lower(w) >> b) & 1 = 1 then 1 else -1 end) as votes "
+            "from tok, range(64) t(b) group by id, b), "
+            "sigs_u as (select id, sum(case when votes > 0 then cast(1::ubigint << b as hugeint) else 0 end) as s "
+            "from bits group by id), "
+            "sigs as (select id, cast(case when s >= 9223372036854775808 then s - 18446744073709551616 else s end as bigint) as sig from sigs_u) "
+            "select a.id as id_a, b.id as id_b, bit_count(xor(a.sig, b.sig)) as hamming "
+            "from sigs a join sigs b on a.id < b.id "
+            "where bit_count(xor(a.sig, b.sig)) <= 4"
+        ),
     }

@@ -287,8 +287,11 @@ def simhash_udf():
     import hashlib
 
     def h64(w: str) -> int:
-        # deterministic across processes (builtin hash() is salted!)
-        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        # deterministic across processes (builtin hash() is salted!), and
+        # chosen to equal DuckDB's md5_number_lower(w) — bytes 8..16 of the
+        # md5 digest, little-endian — so the whole SimHash pipeline is
+        # SQL-replicable for the correctness oracle
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
 
     @F.pandas_udf("long")
     def _simhash(text: pd.Series) -> pd.Series:

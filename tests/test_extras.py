@@ -122,7 +122,7 @@ def test_simhash_multiprobe_beats_single_table(spark, docs):
 
     # exact truth from the same signature definition, computed locally
     def h64(w):
-        return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
 
     def sig_of(t):
         hs = np.array([h64(w) for w in t.split()], dtype=np.uint64)
