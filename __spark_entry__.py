@@ -189,6 +189,41 @@ def _adaptive_cells_sql(base_res: int, max_rows: int, max_res: int) -> str:
     )
 
 
+# triangle vertex offsets (degrees) for the pip_triangles oracle — literal
+# constants shared by the Spark query and the SQL replica
+_TRI_DY = [7.123, -3.891, -4.207, 6.551, 0.913, -7.441]
+_TRI_DX = [0.317, 8.659, -9.113, -5.227, 9.884, 2.031]
+
+
+def _pip_triangles_sql() -> str:
+    """SQL replica of the even-odd kernel over the same triangles: for each
+    of the 3 edges (v1->v2, v2->v3, v3->v1), the kernel's exact test
+    ``(y1>y) != (y2>y) and x < x1 + (y-y1)/(y2-y1)*(x2-x1)``; inside =
+    odd crossing count."""
+    dy = "[" + ",".join(repr(v) for v in _TRI_DY) + "]"
+    dx = "[" + ",".join(repr(v) for v in _TRI_DX) + "]"
+    verts = ", ".join(
+        f"la + {dy}[cast((poly_id + {i}) % 6 as int) + 1] as y{i + 1}, "
+        f"lo + {dx}[cast((poly_id + {i}) % 6 as int) + 1] as x{i + 1}"
+        for i in range(3)
+    )
+    def edge(a, b):
+        return (
+            f"(case when ((y{a} > lat) != (y{b} > lat)) "
+            f"and lat is not null "
+            f"and lon < x{a} + (lat - y{a})/(y{b} - y{a})*(x{b} - x{a}) then 1 else 0 end)"
+        )
+    crossings = " + ".join([edge(1, 2), edge(2, 3), edge(3, 1)])
+    return (
+        "with tri as (select cast(n_nationkey as bigint) as poly_id, "
+        "(n_nationkey % 9) * 9.0 - 36.789 as la, (n_nationkey * 37 % 300) - 150.123 as lo "
+        "from nation), "
+        f"v as (select poly_id, {verts} from tri) "
+        f"select pid, poly_id from ({_PTS_SQL}) p, v "
+        f"where ({crossings}) % 2 = 1"
+    )
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -412,6 +447,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = pip_join(pts, polys, strategy="broadcast")
         return out.select("pid", "poly_id")
+
+    def q_pip_triangles(spark, sf):
+        # Non-axis-aligned polygons: unlike the rectangle case (where
+        # bbox containment == polygon containment), triangles make the
+        # even-odd crossing arithmetic itself decide — the SQL oracle
+        # replays the kernel's exact edge test. Vertex offsets are literal
+        # constants (no trig), so both engines compute identical doubles.
+        from osmgraft.operators.pip import pip_join
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        n = _read(spark, sf, "nation")
+        dy = F.array(*[F.lit(v) for v in _TRI_DY])
+        dx = F.array(*[F.lit(v) for v in _TRI_DX])
+        k = F.col("n_nationkey").cast("long")
+        base = n.select(
+            k.alias("poly_id"),
+            F.col("n_name").alias("name"),
+            ((k % 9).cast("double") * 9.0 - 36.789).alias("_la"),
+            ((k * 37 % 300).cast("double") - 150.123).alias("_lo"),
+        )
+        def vert(i, arr, c):
+            return F.col(c) + F.element_at(arr, ((F.col("poly_id") + i) % 6 + 1).cast("int"))
+        polys = base.select(
+            "poly_id",
+            "name",
+            F.array(vert(0, dy, "_la"), vert(1, dy, "_la"), vert(2, dy, "_la")).alias("ring_lats"),
+            F.array(vert(0, dx, "_lo"), vert(1, dx, "_lo"), vert(2, dx, "_lo")).alias("ring_lons"),
+        )
+        return pip_join(pts, polys, strategy="broadcast").select("pid", "poly_id")
 
     # --- tiles: per-tile importance order (window partitioned by tile) ------------
     def q_tile_topk(spark, sf):
@@ -699,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": q_tiles,
         "knn_radius_pairs": q_knn_pairs,
         "pip_rectangles": q_pip_boxes,
+        "pip_triangles": q_pip_triangles,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
         "tile_topk": q_tile_topk,
@@ -848,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             f"select pid, poly_id from ({_PTS_SQL}) p, boxes "
             "where p.lat > la and p.lat < la + 8.1234 and p.lon > lo and p.lon < lo + 12.1234"
         ),
+        "pip_triangles": _pip_triangles_sql(),
         "tile_topk": (
             f"with t as (select pid as osm_id, "
             f"least(cast(floor((lon+180.0)/360.0*256) as bigint), 255) as tile_x, "
