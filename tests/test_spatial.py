@@ -251,6 +251,56 @@ def test_knn_banded_matches_bruteforce_across_bands(spark):
     assert len(want) > 100  # every cluster contributes pairs
 
 
+def test_knn_banded_adversarial_coordinates(spark):
+    # Exact band-edge latitudes (digitize boundaries), the poles, and
+    # lon exactly +-180: the banded encode + sentinel caps + seam replicas
+    # must still match brute force with zero duplicates.
+    from osmgraft.operators.knn import EARTH_RADIUS_M, _BAND_LO, knn_candidates
+
+    rng = np.random.default_rng(23)
+    spots = [
+        (45.573, 0.0), (-45.573, 10.0), (60.0, -180.0), (75.522, 180.0),
+        (84.261, 0.0), (-84.261, -180.0), (90.0, 0.0), (-90.0, 0.0),
+        (0.0, 180.0), (0.0, -180.0), (89.99, 179.99), (-89.99, -179.99),
+    ]
+    rows = []
+    i = 0
+    for clat, clon in spots:
+        rows.append((i, float(clat), float(clon)))  # the exact coordinate itself
+        i += 1
+        for _ in range(8):
+            la = float(np.clip(clat + rng.normal(0, 0.02), -90.0, 90.0))
+            lo = float(clon + rng.normal(0, 0.05))
+            if lo > 180.0:
+                lo -= 360.0
+            if lo < -180.0:
+                lo += 360.0
+            rows.append((i, la, lo))
+            i += 1
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    radius = 4000.0
+
+    collected = [
+        (r["pid"], r["pid_r"])
+        for r in knn_candidates(df, df, radius).collect()
+        if r["pid"] < r["pid_r"]
+    ]
+    assert len(collected) == len(set(collected)), "duplicate pairs emitted"
+
+    def hav(a, b):
+        p1, p2 = math.radians(a[1]), math.radians(b[1])
+        dl = math.radians(b[2] - a[2])
+        x = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(min(1.0, x)))
+
+    want = sorted(
+        (a[0], b[0]) for a in rows for b in rows if a[0] < b[0] and hav(a, b) <= radius
+    )
+    assert sorted(collected) == want
+    assert len(want) > 50
+    assert len(_BAND_LO) == 5  # fixture covers every band edge
+
+
 def test_knn_join_topk(spark):
     from osmgraft.operators.knn import knn_join
 
