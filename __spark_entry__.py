@@ -1070,15 +1070,21 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_cells_pts": _adaptive_cells_sql(base_res=0, max_rows=5, max_res=3),
         "simhash_pairs": (
             # bit-exact signature replay: h64(w) == md5_number_lower(w);
-            # majority vote per bit, two's-complement fold, exact Hamming
+            # majority vote per bit, two's-complement fold, exact Hamming.
+            # Empty tokens are filtered so the tokenization agrees with the
+            # engine's str.split() on degenerate input (empty/whitespace
+            # text), and token-less docs fall back to sig 0 via the left
+            # join — exactly the kernel's behavior.
             "with corpus as (select doc_id, text from documents where doc_id < 300 "
             "union all select doc_id + 1000000 as doc_id, text from documents where doc_id < 30), "
-            f"tok as (select doc_id as id, unnest({tok}) as w from corpus), "
+            f"tok as (select doc_id as id, unnest(list_filter({tok}, w -> w <> '')) as w from corpus), "
             "bits as (select id, b, sum(case when (md5_number_lower(w) >> b) & 1 = 1 then 1 else -1 end) as votes "
             "from tok, range(64) t(b) group by id, b), "
             "sigs_u as (select id, sum(case when votes > 0 then cast(1::ubigint << b as hugeint) else 0 end) as s "
             "from bits group by id), "
-            "sigs as (select id, cast(case when s >= 9223372036854775808 then s - 18446744073709551616 else s end as bigint) as sig from sigs_u) "
+            "sigs_s as (select id, cast(case when s >= 9223372036854775808 then s - 18446744073709551616 else s end as bigint) as sig from sigs_u), "
+            "sigs as (select c.doc_id as id, coalesce(ss.sig, 0) as sig "
+            "from corpus c left join sigs_s ss on c.doc_id = ss.id) "
             "select a.id as id_a, b.id as id_b, bit_count(xor(a.sig, b.sig)) as hamming "
             "from sigs a join sigs b on a.id < b.id "
             "where bit_count(xor(a.sig, b.sig)) <= 4"

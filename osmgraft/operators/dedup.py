@@ -297,6 +297,9 @@ def simhash_udf():
     def _simhash(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
         for i, t in enumerate(text):
+            # str.split() never yields '' tokens; the SQL oracle filters
+            # w <> '' to match, and both sides give token-less (empty /
+            # whitespace-only) documents signature 0
             toks = (t or "").split()
             if not toks:
                 continue

@@ -177,6 +177,18 @@ def _right_cells_udf(radius_m: float):
     return _enc
 
 
+def _left_cand_expr(cell: Column) -> Column:
+    """Candidate cells a left row probes. Grid rows probe the disk(1)
+    neighborhood; polar-cap sentinel rows probe ONLY the sentinel cell —
+    the disk(1) offset arithmetic on a sentinel id would land on the
+    OPPOSITE hemisphere's sentinel ((q=1,r=0)+(-1,0) == (q=0,r=0)), turning
+    every cap left row into a brute-force join against the other cap's
+    right rows. Results were still correct (haversine filters the
+    cross-hemisphere pairs) but the candidate blow-up is unnecessary."""
+    is_sentinel = F.shiftrightunsigned(cell, 58) == F.lit(_SENTINEL_RES)
+    return F.when(is_sentinel, F.array(cell)).otherwise(hex_neighbors_expr(cell, k=1))
+
+
 def _suffix_right(right: DataFrame) -> list[Column]:
     return [F.col(c).alias(f"{c}_r") for c in right.columns]
 
@@ -255,9 +267,7 @@ def knn_candidates(
     l = left.withColumn(
         "_cell", _left_cell_udf(radius_m)(F.col(left_cols[0]), F.col(left_cols[1]))
     )
-    l_exp = l.withColumn("_cand", F.explode(hex_neighbors_expr(F.col("_cell"), k=1))).drop("_cell")
-    # (sentinel cells get 6 garbage "neighbors" from the offset arithmetic;
-    # they are ids no right row ever emits, so they match nothing.)
+    l_exp = l.withColumn("_cand", F.explode(_left_cand_expr(F.col("_cell")))).drop("_cell")
 
     r_cells = _right_cells_udf(radius_m)(F.col(right_cols[0]), F.col(right_cols[1]))
     r_exp = (

@@ -23,23 +23,36 @@ from pyspark.sql import functions as F
 from osmgraft.functions.cells import hex_cell_udf
 
 
-def salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Salt independent of the row's columns: a hash of the key alone is a
+def salt(
+    df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt", id_col: str | None = None
+) -> DataFrame:
+    """Salt independent of the KEY's value: a hash of the key alone is a
     no-op on key-only projections (every row of a hot key lands in one salt
-    bucket and the reduce side never splits). ``monotonically_increasing_id``
-    increments per row within a partition, so ``pmod`` cycles through all
-    ``n_salts`` values even when every column is the hot key itself. Only
-    valid for salt-distribution-independent aggregates (count/sum/min/max)."""
-    h = F.monotonically_increasing_id()
+    bucket and the reduce side never splits).
+
+    Determinism: pass ``id_col`` (any unique row id) whenever one exists —
+    the salt is then a pure row function (``xxhash64``), stable under task
+    retry. The key-only fallback uses ``monotonically_increasing_id``,
+    which depends on row order within a partition: a map-task recompute
+    after a partial reducer fetch can re-salt rows differently and
+    double-count or drop them — the round-robin-repartition fault-recovery
+    hazard (SPARK-23207). The fallback is therefore safe only when the
+    upstream is a deterministic scan or a materialized (checkpointed)
+    frame; for long fault-tolerant jobs derive an id first. Only valid for
+    salt-distribution-independent aggregates (count/sum/min/max)."""
+    h = F.xxhash64(F.col(id_col)) if id_col is not None else F.monotonically_increasing_id()
     return df.withColumn(salt_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 
 
-def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+def salted_count(
+    df: DataFrame, key: str, n_salts: int = 16, id_col: str | None = None
+) -> DataFrame:
     """groupBy(key).count() resistant to hot keys: partial count per
     (key, salt), then re-aggregate. (Spark's partial aggregation already
     does map-side combine; the salt additionally splits the REDUCE side of
-    a hot key across n_salts tasks.)"""
-    salted = salt(df, key, n_salts)
+    a hot key across n_salts tasks.) ``id_col``: see :func:`salt` — pass a
+    unique id column for retry-deterministic salting."""
+    salted = salt(df, key, n_salts, id_col=id_col)
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias("count"))
 

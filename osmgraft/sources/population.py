@@ -16,19 +16,32 @@ from pyspark.sql import functions as F
 
 
 def read_population(spark: SparkSession, path: str) -> DataFrame:
-    """(name, population) from a TSV; comments skipped, atoi values."""
+    """(name, population) from a TSV; comments skipped, atoi values.
+
+    One row per name, FIRST entry in file order winning — the reference's
+    ``std::map::insert`` semantics (populationinput.cpp:56-60). File order
+    is recovered by reading the text into a single partition (population
+    lists are dimension-sized) where ``monotonically_increasing_id``
+    counts rows in read order; ``min_by`` then picks the first entry per
+    name. For a multi-file ``path`` glob the order across files follows
+    Spark's file listing; pass one file when exact fidelity matters.
+    """
     from osmgraft.functions.classify import atoi_expr
 
-    raw = spark.read.csv(path, sep="\t", comment="#", schema="name string, pop_raw string")
-    parsed = raw.select(
-        "name", F.coalesce(atoi_expr(F.col("pop_raw")), F.lit(0)).alias("population")
+    raw = (
+        spark.read.text(path)
+        .coalesce(1)
+        .withColumn("_pos", F.monotonically_increasing_id())
+        .where(~F.col("value").startswith("#"))  # populationinput.cpp:53-54
     )
-    # one row per name: the reference's std::map::insert keeps the first
-    # entry per name (populationinput.cpp:56-60); file order is not a
-    # DataFrame notion, so deterministically keep the smallest population
-    # of the duplicates. Without this, a repeated name would fan out the
-    # broadcast join in apply_population and duplicate POI rows.
-    return parsed.groupBy("name").agg(F.min("population").alias("population"))
+    parsed = raw.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("name"),
+        F.coalesce(
+            atoi_expr(F.split_part(F.col("value"), F.lit("\t"), F.lit(2))), F.lit(0)
+        ).alias("population"),
+        "_pos",
+    )
+    return parsed.groupBy("name").agg(F.min_by("population", "_pos").alias("population"))
 
 
 def apply_population(pois: DataFrame, population: DataFrame, name_col: str = "name") -> DataFrame:

@@ -159,13 +159,16 @@ def test_population_tsv(spark, tmp_path):
 
 
 def test_population_duplicate_names_no_fanout(spark, tmp_path):
-    # The reference's std::map::insert keeps one entry per name; a repeated
-    # name in the TSV must neither fan out the join (duplicating POI rows)
-    # nor be nondeterministic — we keep the smallest population.
+    # The reference's std::map::insert keeps the FIRST entry per name in
+    # file order (populationinput.cpp:56-60); a repeated name in the TSV
+    # must neither fan out the join (duplicating POI rows) nor pick a
+    # different duplicate than the reference binary would. First entry
+    # deliberately the LARGER value so first-wins is distinguishable from
+    # min-wins.
     from osmgraft.sources.population import apply_population, read_population
 
     tsv = tmp_path / "pop_dup.tsv"
-    tsv.write_text("Springfield\t5000\nSpringfield\t9000\nShelbyville\t300\n")
+    tsv.write_text("Springfield\t9000\nSpringfield\t5000\nShelbyville\t300\n")
     pop = read_population(spark, str(tsv))
     assert pop.count() == 2
     pois = spark.createDataFrame(
@@ -174,4 +177,4 @@ def test_population_duplicate_names_no_fanout(spark, tmp_path):
     )
     rows = apply_population(pois, pop).collect()
     assert len(rows) == 2  # no fanout
-    assert {r["osm_id"]: r["population"] for r in rows} == {1: 5000, 2: 300}
+    assert {r["osm_id"]: r["population"] for r in rows} == {1: 9000, 2: 300}

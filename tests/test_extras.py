@@ -376,3 +376,20 @@ def test_embedding_dedup_exact_vs_lsh(spark):
     kept = embedding_dedup(emb, threshold=0.999, exact=True)
     ids = {r["vec_id"] for r in kept.collect()}
     assert ids == set(range(60))  # all 1000+ dupes suppressed
+
+
+def test_simhash_degenerate_text(spark):
+    # Empty / whitespace-only / NULL documents: signature 0 on the engine
+    # side (str.split() -> no tokens), pairing only with each other — the
+    # SQL oracle reproduces this via its w <> '' filter + sig-0 fallback.
+    from osmgraft.operators.dedup import simhash_pairs, simhash_udf
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real content here okay")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", simhash_udf()(F.col("text")).alias("sig")).collect()}
+    assert sigs[1] == sigs[2] == sigs[3] == 0
+    assert sigs[4] != 0
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=4).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}

@@ -116,3 +116,22 @@ def test_lineage_resume(spark, tmp_path):
     re2 = resume_or_compute(spark, path, "stage1", builder)
     assert re2.count() == 1000
     assert calls == [1]
+
+
+def test_salt_id_col_deterministic(spark):
+    # With a unique id column the salt must be a pure row function (stable
+    # under recompute/retry) and the salted count must still be exact.
+    from osmgraft.operators.skew import salt, salted_count
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    s1 = {r["id"]: r["_salt"] for r in salt(df, "k", 8, id_col="id").collect()}
+    s2 = {
+        r["id"]: r["_salt"]
+        for r in salt(df.repartition(7), "k", 8, id_col="id").collect()
+    }
+    assert s1 == s2  # independent of partitioning => retry-deterministic
+    assert len(set(s1.values())) == 8  # hot keys still split across salts
+    got = {r["k"]: r["count"] for r in salted_count(df, "k", 8, id_col="id").collect()}
+    assert got == {"0": 667, "1": 667, "2": 666}

@@ -414,3 +414,27 @@ def test_vectorize_feeds_pip(spark):
     )
     out = pip_join(pts, polys, strategy="broadcast")
     assert out.count() == 2  # each point falls in its own pixel rectangle
+
+
+def test_polar_sentinel_probes_single_cell(spark):
+    # A sentinel id plus a disk(1) axial offset lands on the OPPOSITE
+    # hemisphere's sentinel ((q=1,r=0)+(-1,0) == (q=0,r=0)), which would
+    # brute-force-join the two polar caps against each other. Cap left rows
+    # must probe exactly their own sentinel cell; grid rows the 7-cell disk.
+    from osmgraft.operators.knn import _left_cand_expr, _left_cell_udf
+
+    df = spark.createDataFrame(
+        [(0, 89.0, 10.0), (1, -89.0, 10.0), (2, 10.0, 10.0)],
+        "pid long, lat double, lon double",
+    )
+    cells_df = df.withColumn("_cell", _left_cell_udf(2000.0)(F.col("lat"), F.col("lon")))
+    got = {
+        r["pid"]: r
+        for r in cells_df.select(
+            "pid", "_cell", F.array_sort(_left_cand_expr(F.col("_cell"))).alias("cand")
+        ).collect()
+    }
+    assert got[0]["cand"] == [got[0]["_cell"]]  # north cap: own sentinel only
+    assert got[1]["cand"] == [got[1]["_cell"]]  # south cap: own sentinel only
+    assert got[0]["_cell"] != got[1]["_cell"]   # hemispheres stay distinct
+    assert len(got[2]["cand"]) == 7             # grid row: full disk(1)
