@@ -703,7 +703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 300)
         dup = d.where(F.col("doc_id") < 30).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
-        return simhash_pairs(d.unionByName(dup), max_hamming=4, prefix_bits=12, n_tables=4)
+        # signature='md5' is the oracle configuration; the library default
+        # is the Catalyst xxhash64 path (pytest-pinned against a replay of
+        # Spark's own token hashes — no ANSI-SQL equivalent exists)
+        return simhash_pairs(
+            d.unionByName(dup), max_hamming=4, prefix_bits=12, n_tables=4, signature="md5"
+        )
 
     def q_ann_lsh(spark, sf):
         # Oracled configuration: dense tables (2 planes x 24 tables) give

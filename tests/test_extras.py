@@ -150,11 +150,11 @@ def test_simhash_multiprobe_beats_single_table(spark, docs):
 
     single = {
         (r["id_a"], r["id_b"])
-        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=1).collect()
+        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=1, signature="md5").collect()
     }
     multi = {
         (r["id_a"], r["id_b"])
-        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=4).collect()
+        for r in simhash_pairs(corpus, max_hamming=max_h, prefix_bits=16, n_tables=4, signature="md5").collect()
     }
     assert single <= truth and multi <= truth  # verify step admits no junk
     assert single.isdisjoint(prefix_hit)  # single table provably misses these
@@ -393,3 +393,63 @@ def test_simhash_degenerate_text(spark):
     assert sigs[4] != 0
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=4).collect()}
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_expr_matches_replayed_xxhash_votes(spark, docs):
+    # Pin the Catalyst signature kernel (the default/scale path): replay
+    # Spark's OWN xxhash64 token hashes through a plain-Python majority
+    # vote and require bit-identical signatures. (xxhash64 itself is the
+    # trusted builtin; this pins the vote/fold expression around it.)
+    import numpy as np
+
+    from osmgraft.operators.dedup import simhash_expr
+
+    corpus = docs.limit(60).select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select("doc_id", simhash_expr(F.col("text")).alias("sig")).collect()
+    }
+    tok_hashes = (
+        corpus.select(
+            "doc_id",
+            F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))).alias("w"),
+        )
+        .select("doc_id", F.xxhash64(F.col("w")).alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok_hashes:
+        by_doc.setdefault(r["doc_id"], []).append(r["h"])
+    for doc_id, sig in got.items():
+        hs = np.array(by_doc.get(doc_id, []), dtype=np.int64).view(np.uint64)
+        if len(hs) == 0:
+            assert sig == 0
+            continue
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        want = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            want |= np.uint64(1) << np.uint64(b)
+        assert sig == np.int64(want.view(np.int64)), doc_id
+
+
+def test_simhash_catalyst_default_finds_planted_pairs(spark):
+    # The default (Catalyst) path end-to-end: planted near-dup twins pair,
+    # unrelated docs don't, and degenerate text folds to signature 0 like
+    # the md5 kernel.
+    from osmgraft.operators.dedup import simhash_expr, simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", simhash_expr(F.col("text")).alias("sig")).collect()}
+    assert sigs[4] == 0
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=16, prefix_bits=4).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
