@@ -69,32 +69,49 @@ def adaptive_cell_split(
 ) -> DataFrame:
     """Assign a mixed-resolution cell column: cells start at ``base_res``;
     any cell with more than ``max_rows`` rows is re-encoded one resolution
-    finer, repeatedly, up to ``max_res``."""
-    out = df.withColumn(cell_col, hex_cell_udf(base_res)(F.col(lat_col), F.col(lon_col)))
+    finer, repeatedly, up to ``max_res``.
+
+    Scale shape — refinement iterates on the HOT SUBSET only. The base
+    encode materializes once; each round splits off the rows of over-full
+    cells (the hot-cell list stays a broadcast DataFrame join, never a
+    driver-collected IN-list — it can reach ~10^7 entries at the 10^12-row
+    target), re-encodes JUST those rows one resolution finer, and
+    re-checkpoints only that shrinking branch. Cold rows are set aside
+    untouched (their lineage reads their round's checkpoint once — no
+    re-encode, no re-write) and unioned back at the end. Re-checkpointing
+    the FULL frame per round would add 3-4 full-table writes at 10^12
+    rows for a hot branch that is bounded by total/max_rows cells.
+
+    A cell is never revisited once it fits: rows refined at round k carry
+    res ``base_res+k`` cell ids, which (res is packed into the id) can't
+    collide with any coarser cold cell, so counting only the current hot
+    branch sees exactly the cells that can still be over-full. The only
+    driver-side action per round is the loop-termination emptiness probe.
+    ``checkpoint=False`` keeps the full lineage inspectable for plan tests
+    (at the cost of re-running earlier rounds' encodes per branch)."""
+    cur = df.withColumn(cell_col, hex_cell_udf(base_res)(F.col(lat_col), F.col(lon_col)))
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    cold_parts: list[DataFrame] = []
     res = base_res
     while res < max_res:
-        # Hot cells stay a DataFrame broadcast into a left join — never a
-        # driver collect + isin literal: at the 10^12-row target the hot
-        # list can reach ~10^7 entries, and a 10^7-element IN-list in the
-        # plan (plus the driver materialization) kills the job. The only
-        # driver-side action is the loop-termination emptiness probe.
-        counts = out.groupBy(cell_col).count()
+        counts = cur.groupBy(cell_col).count()
         hot = counts.where(F.col("count") > max_rows).select(cell_col)
         if hot.isEmpty():
             break
         res += 1
-        finer = hex_cell_udf(res)(F.col(lat_col), F.col(lon_col))
-        out = (
-            out.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), cell_col, "left")
-            .withColumn(cell_col, F.when(F.col("_hot").isNotNull(), finer).otherwise(F.col(cell_col)))
+        marked = cur.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), cell_col, "left")
+        cold_parts.append(marked.where(F.col("_hot").isNull()).drop("_hot"))
+        cur = (
+            marked.where(F.col("_hot").isNotNull())
             .drop("_hot")
+            .withColumn(cell_col, hex_cell_udf(res)(F.col(lat_col), F.col(lon_col)))
         )
-        # Materialize per iteration: bounds plan growth to one join + one
-        # when regardless of how many refinement rounds run, and stops the
-        # next round's count from re-running every earlier round's encode.
-        # (checkpoint=False keeps the plan inspectable for tests.)
         if checkpoint:
-            out = out.localCheckpoint(eager=True)
+            cur = cur.localCheckpoint(eager=True)
+    out = cur
+    for part in cold_parts:
+        out = out.unionByName(part)
     return out
 
 
