@@ -549,7 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osmgraft.operators.dedup import jaccard_pairs
 
         d = _read(spark, sf, "documents").select("doc_id", "text").where(F.col("doc_id") < 200)
-        return jaccard_pairs(d, threshold=0.4).select(
+        # max_df=None: the exact-jaccard oracle configuration (the library
+        # default keeps the hot-token damping rail on)
+        return jaccard_pairs(d, threshold=0.4, max_df=None).select(
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
         )
 

@@ -73,7 +73,7 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All (a, b) id pairs (a < b) with token-set Jaccard >= threshold —
     explode+join formulation (co-partitioned on token), identical to the
@@ -81,13 +81,18 @@ def jaccard_pairs(
 
     ``max_df`` is the hot-token damping rail: the token equi-join is
     quadratic in each token's document frequency, so one stopword in every
-    document turns it into an all-pairs bomb. With ``max_df`` set, tokens
-    appearing in more than ``max_df`` documents are dropped from BOTH the
-    intersection join and the set sizes — jaccard is then computed on the
-    damped token sets (internally consistent; equal to the true jaccard
-    whenever no token exceeds the cutoff, and the standard df-cutoff
-    candidate semantics otherwise: pairs that share only ultra-common
-    tokens stop surfacing, which is what near-dup mining wants)."""
+    document turns it into an all-pairs bomb. Tokens appearing in more
+    than ``max_df`` documents are dropped from BOTH the intersection join
+    and the set sizes — jaccard is then computed on the damped token sets
+    (internally consistent; equal to the true jaccard whenever no token
+    exceeds the cutoff, and the standard df-cutoff candidate semantics
+    otherwise: pairs that share only ultra-common tokens stop surfacing,
+    which is what near-dup mining wants).
+
+    The rail is ON by default (finite ``max_df``) so a caller who forgets
+    it cannot detonate the join — one planet-frequency stopword at 10^9
+    docs is a 10^18-row self-join. Pass ``max_df=None`` EXPLICITLY for
+    exact small-corpus jaccard (the correctness-oracle configuration)."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_expr(F.col(text_col)))).alias("w")
     )

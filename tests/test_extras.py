@@ -453,3 +453,28 @@ def test_simhash_catalyst_default_finds_planted_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=16, prefix_bits=4).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_default_damps_planted_stopword(spark):
+    # The damping rail must be on BY DEFAULT: a corpus where every document
+    # shares one stopword would otherwise feed an all-pairs self-join
+    # (1500 docs -> ~1.1M intersection rows here; quadratic at scale).
+    from osmgraft.operators.dedup import jaccard_pairs
+
+    docs = spark.range(1500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the unique"), F.col("id").cast("string"),
+                 F.lit(" tok"), (F.col("id") * 7).cast("string")).alias("text"),
+    )
+    # default (finite max_df): the stopword is dropped, no pair shares a
+    # surviving token -> zero rows, and the plan stays bucketed
+    assert jaccard_pairs(docs, threshold=0.01).count() == 0
+    # explicit opt-out reproduces exact jaccard: all pairs share only 'the'
+    # (1/5 each) -> a planted twin is still found above threshold
+    twin = spark.createDataFrame(
+        [(100000, "the unique3 tok21")], "doc_id long, text string"
+    )
+    exact = jaccard_pairs(
+        docs.where(F.col("doc_id") < 50).unionByName(twin), threshold=0.9, max_df=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(3, 100000)}
