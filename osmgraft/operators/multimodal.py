@@ -69,10 +69,21 @@ _FEAT_SCHEMA = StructType(
 )
 
 
-def extract_features(media: DataFrame, dim: int = 64, use_codec: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 64, use_codec: bool = False, codec=None
+) -> DataFrame:
     """media -> (media_id, features[dim], n_bytes). Arrow-batched; each
-    batch handles its payloads in one pass. ``use_codec=True`` routes
-    through decode_media (NotImplementedError here; real path on cluster)."""
+    batch handles its payloads in one pass.
+
+    ``use_codec=True`` routes payloads through ``codec`` — this parameter
+    IS the deployment seam: any ``(payload: bytes, mime: str) -> ndarray``
+    callable, captured BY VALUE into the Arrow kernel's closure so
+    executors need no module patching (a module-global would not survive
+    the worker-process boundary). Default is :func:`decode_media`, which
+    raises in this container; real clusters pass a Pillow/ffmpeg-backed
+    callable. The seam is pinned by a contract test that injects a stub
+    codec (tests/test_extras.py::test_multimodal_codec_seam)."""
+    decode = codec if codec is not None else decode_media
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +93,7 @@ def extract_features(media: DataFrame, dim: int = 64, use_codec: bool = False) -
                 raw = bytes(payload)
                 nbytes.append(len(raw))
                 if use_codec:
-                    arr = decode_media(raw, mime)
+                    arr = decode(raw, mime)
                     feats.append(arr.ravel()[:dim].astype(np.float32))
                 else:
                     feats.append(fake_features(raw, dim))

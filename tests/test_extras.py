@@ -478,3 +478,29 @@ def test_jaccard_default_damps_planted_stopword(spark):
         docs.where(F.col("doc_id") < 50).unionByName(twin), threshold=0.9, max_df=None
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in exact} == {(3, 100000)}
+
+
+def test_multimodal_codec_seam(spark):
+    # Contract test for the codec seam: use_codec=True must (a) raise with
+    # the default stub (nothing silently trains on fake pixels) and (b)
+    # run end-to-end with an injected codec callable — proving a real
+    # Pillow/ffmpeg decoder drops in without touching the Spark plumbing.
+    from osmgraft.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 30).localCheckpoint()
+
+    with pytest.raises(Exception) as exc:
+        extract_features(media, dim=4, use_codec=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "media codec" in str(exc.value)
+
+    def stub_codec(payload: bytes, mime: str) -> np.ndarray:
+        # deterministic "decoded pixels": first 16 payload bytes
+        return np.frombuffer(payload[:16].ljust(16, b"\0"), dtype=np.uint8).astype(np.float32)
+
+    out = {r["media_id"]: r for r in extract_features(media, dim=4, use_codec=True, codec=stub_codec).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(out) == set(raw)
+    for mid, r in out.items():
+        want = np.frombuffer(raw[mid][:16].ljust(16, b"\0"), dtype=np.uint8).astype(np.float32)[:4]
+        assert np.allclose(np.asarray(r["features"], dtype=np.float32), want)
+        assert r["n_bytes"] == len(raw[mid])
