@@ -224,6 +224,16 @@ def _pip_triangles_sql() -> str:
     )
 
 
+def _label_pipeline_oracle_sql() -> str:
+    """DuckDB replica of the FULL flagship pipeline over the staged synth
+    corpus (see osmgraft/plans/sql_oracle.py for the derivation notes)."""
+    from osmgraft.plans.sql_oracle import label_pipeline_sql, stage_pipeline_corpus
+    from osmgraft.sources.config import default_config
+
+    docs_p, _, geom_p = stage_pipeline_corpus()
+    return label_pipeline_sql(docs_p, geom_p, default_config())
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -637,10 +647,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # =================== engine-native (rows-only checks) ===================
 
     def q_osm_labels(spark, sf):
+        # The FLAGSHIP query, fully oracled: the corpus is staged once as
+        # parquet (pure-Python synth mirror, identical rows to the Spark
+        # generator at the same seed), the engine runs the real pipeline —
+        # packed-binary decode, classification, polygon assembly, rank,
+        # label kernel — and DuckDB replays every stage in SQL over the
+        # same files (osmgraft/plans/sql_oracle.py). lat/lon rounded on
+        # both sides: the assembly centroid sums floats in walk order,
+        # the SQL in set order.
         from osmgraft.plans.pipeline import label_pipeline
+        from osmgraft.plans.sql_oracle import stage_pipeline_corpus
 
-        docs, blobs = _synth_docs(spark, 800)
-        return label_pipeline(spark, docs, blobs)
+        docs_p, blobs_p, _ = stage_pipeline_corpus()
+        docs = spark.read.parquet(docs_p)
+        blobs = spark.read.parquet(blobs_p)
+        out = label_pipeline(spark, docs, blobs)
+        return out.select(
+            F.round("lat", 6).alias("lat"),
+            F.round("lon", 6).alias("lon"),
+            "level_id",
+            "rank",
+            "radius",
+            "osm_id",
+            "label",
+            "factor",
+        )
 
     def q_osm_pip_admin(spark, sf):
         from osmgraft.operators.pip import pip_join
@@ -1036,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
             "from orders) t where rn <= 3"
         ),
         # ---- engine-native queries with SQL replicas ----
+        "osm_label_pipeline": _label_pipeline_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the

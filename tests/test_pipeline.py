@@ -170,3 +170,35 @@ def test_two_phase_rank_equals_window(spark, synth_small):
         for r in global_rank(pois, array_literal_max=0).collect()
     }
     assert joined == window
+
+
+def test_pipeline_sql_oracle_matches_engine(spark, tmp_path):
+    """The DuckDB replica of the FULL pipeline (plans/sql_oracle.py) —
+    decode, filter/classify, assembly centroid, rank, label kernel — must
+    match the engine row-for-row on a fresh staged corpus (different seed
+    and size than the driver's, so this is not a fixture replay)."""
+    import duckdb
+
+    from osmgraft.plans.pipeline import label_pipeline
+    from osmgraft.plans.sql_oracle import label_pipeline_sql, stage_pipeline_corpus
+    from osmgraft.sources.config import default_config
+
+    docs_p, blobs_p, geom_p = stage_pipeline_corpus(
+        n_docs=500, seed=9, base=str(tmp_path / "corpus")
+    )
+    out = label_pipeline(spark, spark.read.parquet(docs_p), spark.read.parquet(blobs_p))
+    got = {
+        r["osm_id"]: (
+            round(r["lat"], 6), round(r["lon"], 6), r["level_id"], r["rank"],
+            r["radius"], r["label"], r["factor"],
+        )
+        for r in out.collect()
+    }
+    sql = label_pipeline_sql(docs_p, geom_p, default_config())
+    want = {
+        r[5]: (r[0], r[1], r[2], r[3], r[4], r[6], r[7])
+        for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert len(got) == len(want) > 300
+    mism = {k: (got[k], want.get(k)) for k in got if got[k] != want.get(k)}
+    assert not mism, dict(list(mism.items())[:3])
