@@ -147,46 +147,19 @@ def _s2_oracle_sql(level: int = 12) -> str:
 
 
 def _hex_cell_sql_expr(lat: str, lon: str, res: int) -> str:
-    """Bit-exact DuckDB replica of osmgraft.functions.cells.hex_cell:
-    axial coordinates + cube rounding + (res,q,r) bit-packing. round() is
-    half-away-from-zero in DuckDB vs numpy's half-to-even, but the inputs
-    are quotients of irrational products — an exact .5 fraction cannot
-    occur (verified bit-equal over all sf rows at several resolutions)."""
-    size = repr(5.12 / (1 << res))
-    off = 1 << 28
-    qf = f"((sqrt(3.0)/3.0*{lon} - {lat}/3.0)/{size})"
-    rf = f"((2.0/3.0*{lat})/{size})"
-    yf = f"(-{qf} - {rf})"
-    rx, ry, rz = f"round({qf})", f"round({yf})", f"round({rf})"
-    dx, dy, dz = f"abs({rx} - {qf})", f"abs({ry} - {yf})", f"abs({rz} - {rf})"
-    cond1 = f"({dx} > {dy} and {dx} > {dz})"
-    rx2 = f"(case when {cond1} then -{ry} - {rz} else {rx} end)"
-    rz2 = f"(case when not {cond1} and {dz} > {dy} then -{rx2} - {ry} else {rz} end)"
-    return (
-        f"(({res}::bigint << 58) | ((cast({rx2} as bigint) + {off}) << 29) "
-        f"| (cast({rz2} as bigint) + {off}))"
-    )
+    """Bit-exact hex-cell replica — lives in osmgraft/plans/sql_oracle.py
+    (shared with the staged-corpus oracles)."""
+    from osmgraft.plans.sql_oracle import hex_cell_sql_expr
+
+    return hex_cell_sql_expr(lat, lon, res)
 
 
 def _adaptive_cells_sql(base_res: int, max_rows: int, max_res: int) -> str:
-    """SQL replica of skew.adaptive_cell_split over the pts derivation:
-    refinement round k re-encodes rows of over-full cells at res base+k
-    (a cell whose count never exceeded the cap is never touched, so the
-    unconditionally-chained rounds equal the engine's early-breaking loop)."""
-    parts = [f"e0 as (select pid, lat, lon, {_hex_cell_sql_expr('lat', 'lon', base_res)} as cell from p)"]
-    prev = "e0"
-    for k, res in enumerate(range(base_res + 1, max_res + 1), start=1):
-        parts.append(
-            f"c{k} as (select cell as _c{k}, count(*) as _n{k} from {prev} group by cell), "
-            f"e{k} as (select pid, lat, lon, case when _n{k} > {max_rows} "
-            f"then {_hex_cell_sql_expr('lat', 'lon', res)} else cell end as cell "
-            f"from {prev} join c{k} on cell = _c{k})"
-        )
-        prev = f"e{k}"
-    return (
-        f"with p as ({_PTS_SQL}), " + ", ".join(parts) +
-        f" select cell, count(*) as n from {prev} group by cell"
-    )
+    """SQL replica of skew.adaptive_cell_split over the pts derivation
+    (generalized generator in osmgraft/plans/sql_oracle.py)."""
+    from osmgraft.plans.sql_oracle import adaptive_cells_sql
+
+    return adaptive_cells_sql(_PTS_SQL, base_res, max_rows, max_res)
 
 
 # triangle vertex offsets (degrees) for the pip_triangles oracle — literal
@@ -232,6 +205,21 @@ def _label_pipeline_oracle_sql() -> str:
 
     docs_p, _, geom_p = stage_pipeline_corpus()
     return label_pipeline_sql(docs_p, geom_p, default_config())
+
+
+def _staged_oracle(kind: str) -> str:
+    """Companion oracles over the staged corpus (plans/sql_oracle.py)."""
+    from osmgraft.plans import sql_oracle as so
+    from osmgraft.sources.config import default_config
+
+    docs_p, _, geom_p = so.stage_pipeline_corpus()
+    if kind == "pip_admin":
+        return so.pip_admin_sql(docs_p, geom_p)
+    if kind == "dedup_labels":
+        return so.dedup_labels_sql(docs_p, geom_p, default_config(), 2000.0)
+    if kind == "adaptive_cells":
+        return so.adaptive_cells_sql(so.node_points_sql(docs_p, geom_p), 3, 50, 8)
+    raise ValueError(kind)
 
 
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,11 +661,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "factor",
         )
 
+    def _staged(spark):
+        from osmgraft.plans.sql_oracle import stage_pipeline_corpus
+
+        docs_p, blobs_p, _ = stage_pipeline_corpus()
+        return spark.read.parquet(docs_p), spark.read.parquet(blobs_p)
+
     def q_osm_pip_admin(spark, sf):
+        # fully oracled: even-odd edge-test SQL replica over the staged
+        # corpus's admin rings (plans/sql_oracle.pip_admin_sql)
         from osmgraft.operators.pip import pip_join
         from osmgraft.sources.decode import decode_documents
 
-        docs, blobs = _synth_docs(spark, 800)
+        docs, blobs = _staged(spark)
         frames = decode_documents(docs, blobs)
         pts = frames.node_pois.select("osm_id", "lat", "lon")
         return pip_join(pts, frames.polygons, strategy="partitioned", res=4).select(
@@ -685,17 +681,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_osm_dedup_labels(spark, sf):
+        # fully oracled: NOT EXISTS haversine suppression over the ranked
+        # labels of the pipeline SQL replica (plans/sql_oracle.dedup_labels_sql)
         from osmgraft.operators.knn import dedup_labels
         from osmgraft.plans.pipeline import label_pipeline
 
-        docs, blobs = _synth_docs(spark, 800)
-        return dedup_labels(label_pipeline(spark, docs, blobs), radius_m=2000.0)
+        docs, blobs = _staged(spark)
+        out = dedup_labels(label_pipeline(spark, docs, blobs), radius_m=2000.0)
+        return out.select("osm_id")
 
     def q_osm_adaptive_cells(spark, sf):
+        # fully oracled: chained re-encode rounds over the staged node
+        # points (plans/sql_oracle.adaptive_cells_sql)
         from osmgraft.operators.skew import adaptive_cell_split
         from osmgraft.sources.decode import decode_documents
 
-        docs, blobs = _synth_docs(spark, 800)
+        docs, blobs = _staged(spark)
         pts = decode_documents(docs, blobs).node_pois.select("osm_id", "lat", "lon")
         out = adaptive_cell_split(pts, base_res=3, max_rows=50, max_res=8)
         return out.groupBy("cell").agg(F.count("*").alias("n"))
@@ -1068,6 +1069,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ---- engine-native queries with SQL replicas ----
         "osm_label_pipeline": _label_pipeline_oracle_sql(),
+        "osm_pip_admin": _staged_oracle("pip_admin"),
+        "osm_dedup_labels": _staged_oracle("dedup_labels"),
+        "osm_adaptive_cells": _staged_oracle("adaptive_cells"),
         "s2_cells": _s2_oracle_sql(level=12),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the

@@ -242,38 +242,19 @@ def _kern_sql(prev: str, c: str, metrics: FontMetrics) -> str:
 # ---------------------------------------------------------------------------
 
 
-def label_pipeline_sql(
-    docs_path: str,
-    geom_path: str,
-    cfg: LabelConfig,
-    metrics: FontMetrics = DEFAULT_METRICS,
-) -> str:
+def _core_ctes(docs_path: str, geom_path: str, cfg: LabelConfig) -> str:
+    """CTE list from the raw files through ``ranked`` (decode, filter,
+    classify, names, area assembly centroid, union, global rank) — shared
+    by the label-pipeline, label-dedup, and adaptive-cell oracles."""
     get = lambda key: _col(key)  # noqa: E731
     lvl = level_sql(cfg, get)
     filt = filter_sql(cfg.filter_tree, get)
     factor = _leaf_case(cfg, lambda lf: str(lf.factor))
     icon = _leaf_case(cfg, lambda lf: _q(lf.icon))
-    mean_w = metrics.mean_letter_width
-    split_px = cfg.split_bound * mean_w
-    delims = ", ".join(_q(ch) for ch in sorted(cfg.split_chars))
-    adv = _adv_sql("c", metrics)
-    kern = _kern_sql("prev", "c", metrics)
-    nl = "chr(10)"
-    # newline forms normalized to '\n' in declaration order (utf8helper.cpp:
-    # 23-36); '\n' itself skipped; none start with a default split char
-    forms = ["\r\n", "\x0b", "\x0c", "\r", "", " ", " ", "^M"]
-    norm_expr = "s_stripped"
-    for f in forms:
-        lit = "chr(13) || chr(10)" if f == "\r\n" else _q(f)
-        norm_expr = f"replace({norm_expr}, {lit}, {nl})"
-    one_char_forms = ", ".join(_q(f) for f in ["\n", "\x0b", "\x0c", "\r", "", " ", " "])
-
     tag_pivot = ", ".join(
         f"max(case when k = {_q(key)} then v end) as {_col(key)}" for key in _TAG_KEYS
     )
-
-    return f"""
-with docs as materialized (select * from read_parquet('{docs_path}')),
+    return f"""docs as materialized (select * from read_parquet('{docs_path}')),
 geom as materialized (select * from read_parquet('{geom_path}')),
 sp as materialized (select doc_id, unnest(spans) as s from docs),
 tagkv as materialized (
@@ -381,9 +362,29 @@ pois as materialized (
 ranked as materialized (
   select *, row_number() over (order by level_id asc, population asc, osm_id asc) - 1 as rank
   from pois
-),
--- ===================== L2-L6 label kernel =================================
--- trailing-newline strip (labelhelper.cpp:172-181) + form normalization
+)
+"""
+
+
+def _kernel_ctes(cfg: LabelConfig, metrics: FontMetrics) -> str:
+    """CTE list of the L2-L6 label kernel (consumes ``ranked``)."""
+    mean_w = metrics.mean_letter_width
+    split_px = cfg.split_bound * mean_w
+    delims = ", ".join(_q(ch) for ch in sorted(cfg.split_chars))
+    adv = _adv_sql("c", metrics)
+    kern = _kern_sql("prev", "c", metrics)
+    nl = "chr(10)"
+    # newline forms normalized to '\n' in declaration order (utf8helper.cpp:
+    # 23-36); '\n' itself skipped; none start with a default split char
+    forms = ["\r\n", "\x0b", "\x0c", "\r", "\u0085", "\u2028", "\u2029", "^M"]
+    norm_expr = "stripped"
+    for f in forms:
+        lit = "chr(13) || chr(10)" if f == "\r\n" else _q(f)
+        norm_expr = f"replace({norm_expr}, {lit}, {nl})"
+    one_char_forms = ", ".join(
+        _q(f) for f in ["\n", "\x0b", "\x0c", "\r", "\u0085", "\u2028", "\u2029"]
+    )
+    return f"""-- trailing-newline strip (labelhelper.cpp:172-181) + form normalization
 kern_in as materialized (
   select osm_id, label_src as raw, icon, factor,
          strpos(label_src, {nl}) as raw_nl
@@ -535,7 +536,20 @@ nolabel as materialized (
   left join widths1 w1 on w1.osm_id = n.osm_id and w1.tag = 'ns1'
   left join widths1 w2 on w2.osm_id = n.osm_id and w2.tag = 'ns2'
 )
-select round(r.lat, 6) as lat, round(r.lon, 6) as lon, r.level_id, r.rank,
+"""
+
+
+def label_pipeline_sql(
+    docs_path: str,
+    geom_path: str,
+    cfg: LabelConfig,
+    metrics: FontMetrics = DEFAULT_METRICS,
+) -> str:
+    mean_w = metrics.mean_letter_width
+    return (
+        f"with {_core_ctes(docs_path, geom_path, cfg)},\n"
+        f"{_kernel_ctes(cfg, metrics)}\n"
+        + f"""select round(r.lat, 6) as lat, round(r.lon, 6) as lon, r.level_id, r.rank,
        cast(case when r.icon <> '' then {mean_w} * r.factor
                  else (nl.maxw // 2) * r.factor end as double) as radius,
        r.osm_id,
@@ -544,3 +558,133 @@ select round(r.lat, 6) as lat, round(r.lon, 6) as lon, r.level_id, r.rank,
 from ranked r
 left join nolabel nl on nl.osm_id = r.osm_id
 """
+    )
+
+
+# ---------------------------------------------------------------------------
+# companion oracles over the same staged corpus (PIP, label dedup, adaptive
+# cells) — these turned the last rows-only composite queries into full
+# value-hash checks
+# ---------------------------------------------------------------------------
+
+
+def node_points_sql(docs_path: str, geom_path: str) -> str:
+    """(pid, lat, lon) of EVERY node document — the raw decode, no filter
+    (matches decode_documents().node_pois)."""
+    return f"""
+select cast(split_part(d.doc_id, '/', 2) as bigint) as pid, g.lat, g.lon
+from read_parquet('{docs_path}') d
+join (
+  select doc_id, replace(s.media_ref, 'geom://', '') as ref,
+         row_number() over (partition by doc_id order by s.offset) as ord
+  from (select doc_id, unnest(spans) as s from read_parquet('{docs_path}'))
+  where s.kind = 'geom'
+) r on r.doc_id = d.doc_id and r.ord = 1
+join read_parquet('{geom_path}') g on g.blob_id = r.ref and g.gkind = 'pt'
+where d.doc_id like 'node/%'
+"""
+
+
+def pip_admin_sql(docs_path: str, geom_path: str) -> str:
+    """(osm_id, poly_id): even-odd PIP of every node point against the
+    admin rings — the exact crossing test of pip.point_in_ring, edges =
+    consecutive vertex pairs plus the wrap edge (zero-length on the
+    already-closed stored rings, contributing nothing, exactly like the
+    engine kernel's always-appended closing edge)."""
+    return f"""
+with pts as materialized ({node_points_sql(docs_path, geom_path)}),
+apoly as materialized (
+  select cast(split_part(r.doc_id, '/', 2) as bigint) as poly_id, g.lats, g.lons
+  from (
+    select doc_id, replace(s.media_ref, 'geom://', '') as ref
+    from (select doc_id, unnest(spans) as s from read_parquet('{docs_path}'))
+    where s.kind = 'geom' and doc_id like 'admin/%'
+  ) r join read_parquet('{geom_path}') g on g.blob_id = r.ref and g.gkind = 'seg'
+),
+edges as materialized (
+  select poly_id,
+         lats[r.k] as y1, lons[r.k] as x1,
+         lats[case when r.k = len(lats) then 1 else r.k + 1 end] as y2,
+         lons[case when r.k = len(lons) then 1 else r.k + 1 end] as x2
+  from apoly, range(1, 64) r(k)
+  where r.k <= len(lats)
+),
+hits as materialized (
+  select p.pid, e.poly_id,
+         sum(case when (e.y1 > p.lat) != (e.y2 > p.lat)
+                   and p.lon < e.x1 + (p.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                  then 1 else 0 end) as c
+  from pts p, edges e
+  group by p.pid, e.poly_id
+)
+select pid as osm_id, poly_id from hits where c % 2 = 1
+"""
+
+
+def dedup_labels_sql(
+    docs_path: str, geom_path: str, cfg: LabelConfig, radius_m: float
+) -> str:
+    """Suppression semantics of operators/knn.dedup_labels over the full
+    pipeline's ranked labels: keep a label iff no better-ranked label lies
+    within ``radius_m`` (exact haversine, same constants as the engine).
+    Uses the UNROUNDED ranked coordinates so boundary distances agree with
+    the engine to float precision."""
+    hav = (
+        "2*6371008.8*asin(sqrt("
+        "pow(sin(radians(b.lat-a.lat)/2),2) + "
+        "cos(radians(a.lat))*cos(radians(b.lat))*pow(sin(radians(b.lon-a.lon)/2),2)))"
+    )
+    return f"""
+with {_core_ctes(docs_path, geom_path, cfg)}
+select a.osm_id from ranked a
+where not exists (
+  select 1 from ranked b
+  where b.rank < a.rank and {hav} <= {radius_m!r}
+)
+"""
+
+
+def hex_cell_sql_expr(lat: str, lon: str, res: int) -> str:
+    """Bit-exact DuckDB replica of osmgraft.functions.cells.hex_cell:
+    axial coordinates + cube rounding + (res,q,r) bit-packing. round() is
+    half-away-from-zero in DuckDB vs numpy's half-to-even, but the inputs
+    are quotients of irrational products — an exact .5 fraction cannot
+    occur (verified bit-equal over all sf rows at several resolutions)."""
+    size = repr(5.12 / (1 << res))
+    off = 1 << 28
+    qf = f"((sqrt(3.0)/3.0*{lon} - {lat}/3.0)/{size})"
+    rf = f"((2.0/3.0*{lat})/{size})"
+    yf = f"(-{qf} - {rf})"
+    rx, ry, rz = f"round({qf})", f"round({yf})", f"round({rf})"
+    dx, dy, dz = f"abs({rx} - {qf})", f"abs({ry} - {yf})", f"abs({rz} - {rf})"
+    cond1 = f"({dx} > {dy} and {dx} > {dz})"
+    rx2 = f"(case when {cond1} then -{ry} - {rz} else {rx} end)"
+    rz2 = f"(case when not {cond1} and {dz} > {dy} then -{rx2} - {ry} else {rz} end)"
+    return (
+        f"(({res}::bigint << 58) | ((cast({rx2} as bigint) + {off}) << 29) "
+        f"| (cast({rz2} as bigint) + {off}))"
+    )
+
+
+def adaptive_cells_sql(pts_sql: str, base_res: int, max_rows: int, max_res: int) -> str:
+    """SQL replica of skew.adaptive_cell_split over any (lat, lon) source:
+    refinement round k re-encodes rows of over-full cells at res base+k (a
+    cell whose count never exceeded the cap is never touched, so the
+    unconditionally-chained rounds equal the engine's early-breaking,
+    hot-branch-only loop)."""
+    parts = [
+        f"e0 as (select lat, lon, {hex_cell_sql_expr('lat', 'lon', base_res)} as cell from p)"
+    ]
+    prev = "e0"
+    for k, res in enumerate(range(base_res + 1, max_res + 1), start=1):
+        parts.append(
+            f"c{k} as (select cell as _c{k}, count(*) as _n{k} from {prev} group by cell), "
+            f"e{k} as (select lat, lon, case when _n{k} > {max_rows} "
+            f"then {hex_cell_sql_expr('lat', 'lon', res)} else cell end as cell "
+            f"from {prev} join c{k} on cell = _c{k})"
+        )
+        prev = f"e{k}"
+    return (
+        f"with p as ({pts_sql}), " + ", ".join(parts)
+        + f" select cell, count(*) as n from {prev} group by cell"
+    )
