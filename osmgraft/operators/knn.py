@@ -3,10 +3,15 @@
 Engine extension (north_rule); absent from the reference. The geometry is
 pure Catalyst: haversine distance is built from built-in trig functions
 (whole-stage codegen — no UDF), and the candidate space is pruned by a
-hex-cell disk(1) self-join: with cell edge chosen >= the search radius,
-every true neighbor within the radius lies in the 7-cell disk around the
-query point's cell, so the join is an equi-join on cell id (shuffle
-co-partitioned by cell; dense-city skew handled by operators/skew.py).
+hex-cell disk(``probe_k``) self-join: with k * cell inradius >= the search
+radius, every true neighbor within the radius lies in the 3k(k+1)+1-cell
+disk around the query point's cell, so the join is an equi-join on cell id
+(shuffle co-partitioned by cell; dense-city skew handled by
+operators/skew.py). probe_k=3 by default: finer cells + a wider probe
+track the search circle ~2x tighter than disk(1) at coarse cells (the
+power-of-two edge quantization can make the k=1 cell ~2x oversize), at the
+cost of a 37-integer probe explode — measured faster on dense data and
+identical in results (see res_for_radius).
 
 Resolution is latitude-banded: the disk(1) guarantee must inflate the
 radius by 1/cos(lat) in longitude-degrees, and a single global resolution
@@ -70,28 +75,38 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
 
 
-def res_for_radius(radius_m: float, min_cos_lat: float = 0.2) -> int:
-    """Finest hex resolution satisfying the disk(1) containment guarantee:
-    any point within ``radius_m`` of a query lies in the 7-cell disk around
-    the query's cell. Sufficient condition: hex inradius (sqrt(3)/2 * edge,
-    in plane degrees) >= the search radius in degrees, where longitude
-    degrees are inflated by 1/cos(lat) up to the supported latitude.
-    Finer res = fewer candidates."""
+def res_for_radius(radius_m: float, min_cos_lat: float = 0.2, probe_k: int = 1) -> int:
+    """Finest hex resolution satisfying the disk(``probe_k``) containment
+    guarantee: any point within ``radius_m`` of a query lies in the
+    3k(k+1)+1-cell disk around the query's cell. Sufficient condition:
+    k * hex inradius (sqrt(3)/2 * edge, in plane degrees) >= the search
+    radius in degrees, where longitude degrees are inflated by 1/cos(lat)
+    up to the supported latitude (induction on k: dilating a cell union by
+    one inradius stays within its one-ring expansion).
+
+    Why probe deeper than disk(1): cell edges are powers of two, so the
+    coarsest-fitting cell can be ~2x oversize and the probed area up to
+    ~4x the search circle ON TOP of the 7/pi disk overhead. Finer cells +
+    a wider probe track the circle better: probed-area factor is
+    (3 + 3/k + 1/k^2) * (rounded-edge inflation)^2, i.e. k=3 cuts true
+    candidate volume ~2-3x for radii that round badly at k=1, at the cost
+    of a 37-cell probe explode (cheap codegen integers vs real pairs
+    through the haversine)."""
     radius_deg = radius_m / (DEG_M * min_cos_lat)
     for res in range(15, -1, -1):
-        if 0.866 * hex_edge_deg(res) >= radius_deg:
+        if 0.866 * hex_edge_deg(res) * probe_k >= radius_deg:
             return res
     return 0
 
 
-def _band_res(radius_m: float) -> tuple[np.ndarray, float]:
+def _band_res(radius_m: float, probe_k: int = 1) -> tuple[np.ndarray, float]:
     """Per-band resolutions (4 hex bands; guarantee holds out to the band
     edge + the latitude margin so boundary replicas are covered too)."""
     lat_margin = radius_m / DEG_M
     res = []
     for hi in _BAND_LO[1:]:
         min_cos = math.cos(math.radians(min(hi + lat_margin, 89.9)))
-        res.append(res_for_radius(radius_m, min_cos_lat=min_cos))
+        res.append(res_for_radius(radius_m, min_cos_lat=min_cos, probe_k=probe_k))
     return np.asarray(res, dtype=np.int64), lat_margin
 
 
@@ -111,8 +126,8 @@ def _enc_banded(lat: np.ndarray, lon: np.ndarray, res: np.ndarray) -> np.ndarray
     return out
 
 
-def _left_cell_udf(radius_m: float):
-    res_by_band, _ = _band_res(radius_m)
+def _left_cell_udf(radius_m: float, probe_k: int = 1):
+    res_by_band, _ = _band_res(radius_m, probe_k)
 
     @F.pandas_udf("long")
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -124,8 +139,8 @@ def _left_cell_udf(radius_m: float):
     return _enc
 
 
-def _right_cells_udf(radius_m: float):
-    res_by_band, lat_margin = _band_res(radius_m)
+def _right_cells_udf(radius_m: float, probe_k: int = 1):
+    res_by_band, lat_margin = _band_res(radius_m, probe_k)
 
     @F.pandas_udf("array<long>")
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -158,7 +173,7 @@ def _right_cells_udf(radius_m: float):
         # replica matches are computed on the ORIGINAL coordinates.
         grid_res = np.where(own_res == _SENTINEL_RES, np.where(rep_res >= 0, rep_res, 0), own_res)
         edge = _HEX_BASE_EDGE / (np.int64(1) << grid_res).astype(np.float64)
-        lon_margin = radius_m / (DEG_M * np.maximum(np.cos(np.radians(la)), 0.05)) + 2 * edge
+        lon_margin = radius_m / (DEG_M * np.maximum(np.cos(np.radians(la)), 0.05)) + (probe_k + 1) * edge
         shift = np.where(lo > 180.0 - lon_margin, -360.0, np.where(lo < -180.0 + lon_margin, 360.0, 0.0))
 
         cells = np.full((n, 4), -1, np.int64)
@@ -177,7 +192,7 @@ def _right_cells_udf(radius_m: float):
     return _enc
 
 
-def _left_cand_expr(cell: Column) -> Column:
+def _left_cand_expr(cell: Column, probe_k: int = 1) -> Column:
     """Candidate cells a left row probes. Grid rows probe the disk(1)
     neighborhood; polar-cap sentinel rows probe ONLY the sentinel cell —
     the disk(1) offset arithmetic on a sentinel id would land on the
@@ -186,7 +201,7 @@ def _left_cand_expr(cell: Column) -> Column:
     right rows. Results were still correct (haversine filters the
     cross-hemisphere pairs) but the candidate blow-up is unnecessary."""
     is_sentinel = F.shiftrightunsigned(cell, 58) == F.lit(_SENTINEL_RES)
-    return F.when(is_sentinel, F.array(cell)).otherwise(hex_neighbors_expr(cell, k=1))
+    return F.when(is_sentinel, F.array(cell)).otherwise(hex_neighbors_expr(cell, k=probe_k))
 
 
 def _suffix_right(right: DataFrame) -> list[Column]:
@@ -235,6 +250,7 @@ def knn_candidates(
     res: int | None = None,
     left_cols: tuple[str, str] = ("lat", "lon"),
     right_cols: tuple[str, str] = ("lat", "lon"),
+    probe_k: int = 3,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_m`` — cell-pruned equi-join +
     exact haversine filter. Right columns arrive suffixed with ``_r``.
@@ -265,11 +281,13 @@ def knn_candidates(
         return safe.unionByName(seam.dropDuplicates(seam.columns))
 
     l = left.withColumn(
-        "_cell", _left_cell_udf(radius_m)(F.col(left_cols[0]), F.col(left_cols[1]))
+        "_cell", _left_cell_udf(radius_m, probe_k)(F.col(left_cols[0]), F.col(left_cols[1]))
     )
-    l_exp = l.withColumn("_cand", F.explode(_left_cand_expr(F.col("_cell")))).drop("_cell")
+    l_exp = l.withColumn(
+        "_cand", F.explode(_left_cand_expr(F.col("_cell"), probe_k))
+    ).drop("_cell")
 
-    r_cells = _right_cells_udf(radius_m)(F.col(right_cols[0]), F.col(right_cols[1]))
+    r_cells = _right_cells_udf(radius_m, probe_k)(F.col(right_cols[0]), F.col(right_cols[1]))
     r_exp = (
         right.select(_suffix_right(right) + [F.explode(r_cells).alias("_cell_r")])
         .where(F.col("_cell_r") != -1)
@@ -289,6 +307,7 @@ def knn_join(
     radius_m: float,
     left_key: str,
     res: int | None = None,
+    probe_k: int = 3,
 ) -> DataFrame:
     """Top-k nearest right rows per left row within ``radius_m``.
 
@@ -296,7 +315,7 @@ def knn_join(
     ``radius_m`` are irrelevant by construction, so no iterative ring
     expansion is needed.
     """
-    cand = knn_candidates(left, right, radius_m, res=res)
+    cand = knn_candidates(left, right, radius_m, res=res, probe_k=probe_k)
     w = Window.partitionBy(left_key).orderBy(F.col("dist_m").asc())
     return cand.withColumn("knn_rank", F.row_number().over(w)).where(F.col("knn_rank") <= k)
 
@@ -307,12 +326,23 @@ def dedup_labels(
     rank_col: str = "rank",
     id_col: str = "osm_id",
     res: int | None = None,
+    probe_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """kNN label dedup: suppress any label that has a MORE important label
     (smaller ``rank_col``) within ``radius_m``. Deterministic because the
-    global rank is a total order."""
+    global rank is a total order.
+
+    ``materialize`` (default) localCheckpoints the slim (id, rank, lat,
+    lon) projection once: the candidate self-join and the suppression
+    anti-join otherwise re-derive ``labels`` three times, and a
+    nondeterministic upstream (e.g. an unranked frame) could disagree with
+    itself between the join sides. The slim frame is ~32 B/row — far
+    cheaper than re-running the producing pipeline."""
     slim = labels.select(id_col, rank_col, "lat", "lon")
-    pairs = knn_candidates(labels.select(id_col, rank_col, "lat", "lon"), slim, radius_m, res=res)
+    if materialize:
+        slim = slim.localCheckpoint(eager=True)
+    pairs = knn_candidates(slim, slim, radius_m, res=res, probe_k=probe_k)
     suppressed = (
         pairs.where(
             (F.col(f"{rank_col}_r") < F.col(rank_col)) & (F.col(f"{id_col}_r") != F.col(id_col))

@@ -179,6 +179,20 @@ def main() -> None:
     ]
     sections.append(("embedding LSH dedup — vector-free bucket exchange", p9, notes9))
 
+    # 10. default SimHash signature pass — JVM token hashing, shuffle-free,
+    # one Arrow crossing carrying only the 8-byte hash arrays
+    from osmgraft.operators.dedup import simhash_expr
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    q10 = d.select("doc_id", simhash_expr(F.col("text")).alias("sig"))
+    p10 = plan_of(q10)
+    notes10 = [
+        f"token hashing in JVM (xxhash64 in plan): {'xxhash64' in p10}",
+        f"exactly one Arrow crossing (the vote kernel): {p10.count('ArrowEvalPython') == 1}",
+        f"no shuffle in the signature pass: {'Exchange' not in p10}",
+    ]
+    sections.append(("simhash default path — JVM hash + one Arrow vote, shuffle-free", p10, notes10))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
