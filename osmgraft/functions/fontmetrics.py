@@ -94,7 +94,7 @@ def create_font_atlas_info(
     info file (advance array over the sorted alphabet, full kerning matrix
     ``kerning[i][j] = kern(prev=alphabet[j], cur=alphabet[i])``, atlas grid
     geometry, glyph summary with ``mean_width = ceil(mean(advance))``).
-    The PNG side-output needs cairo and is out of engine scope; the JSON is
+    The matching PNG raster is :func:`render_font_atlas_png`; the JSON is
     the part the pipeline consumes (fontmetrics <-> atlas roundtrip)."""
     import json
     import math
@@ -128,6 +128,107 @@ def create_font_atlas_info(
     path = os.path.join(out_dir, f"{name}.info")
     with open(path, "w") as fh:
         json.dump(root, fh, indent=2)
+    return path
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png_gray8(path: str, width: int, height: int, pixels: bytes) -> None:
+    """Minimal 8-bit grayscale PNG encoder (pure stdlib: zlib + struct).
+
+    ``pixels`` is row-major, ``width * height`` bytes. Each scanline gets
+    filter byte 0 (None); the stream is one zlib-deflated IDAT."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray8
+    with open(path, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n")
+        fh.write(_png_chunk(b"IHDR", ihdr))
+        fh.write(_png_chunk(b"IDAT", zlib.compress(raw, 9)))
+        fh.write(_png_chunk(b"IEND", b""))
+
+
+def read_png_gray8(path: str) -> tuple[int, int, bytes]:
+    """Decode a PNG written by :func:`write_png_gray8` (filter-0 gray8
+    only — a round-trip verifier, not a general decoder)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", payload[:10])
+            if (depth, color) != (8, 0):
+                raise ValueError("only gray8 supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = []
+    for y in range(height):
+        line = raw[y * (width + 1) : (y + 1) * (width + 1)]
+        if line[0] != 0:
+            raise ValueError("only filter 0 supported")
+        rows.append(line[1:])
+    return width, height, b"".join(rows)
+
+
+def render_font_atlas_png(
+    alphabet: str,
+    name: str,
+    out_dir: str,
+    metrics: FontMetrics = DEFAULT_METRICS,
+) -> str:
+    """K3 raster side of the atlas export (font.cpp:195-293): the reference
+    paints each glyph into a ``columns x rows`` grid cell via cairo; the
+    sandbox has no font rasterizer, so each cell gets a deterministic
+    coverage box — ink over ``advance(c)`` columns of the cell between the
+    pinned top/bottom bearings — standing in for the glyph bitmap. Grid
+    geometry (cell size, row/column layout, scan order over the sorted
+    alphabet) matches the ``.info`` export exactly, so the PNG and the
+    JSON describe the same atlas; the engine itself consumes only the
+    metrics (the PNG is a sink artifact, as in the reference)."""
+    import os
+
+    chars = sorted(set(alphabet))
+    advances = [metrics.advance(c) for c in chars]
+    max_adv = max(advances) if advances else 0
+    columns = 14
+    rows = (len(chars) + columns - 1) // columns if chars else 0
+    cell_h = _GLYPH_V["top_height"] + _GLYPH_V["bottom_height"]
+    width, height = columns * max_adv, rows * cell_h
+    px = bytearray(width * height)  # 0 = background
+    ink_y0, ink_y1 = 2, _GLYPH_V["top_height"]  # between bearings
+    for i, adv in enumerate(advances):
+        cx, cy = (i % columns) * max_adv, (i // columns) * cell_h
+        for y in range(cy + ink_y0, cy + ink_y1):
+            row0 = y * width + cx
+            px[row0 : row0 + adv] = b"\xff" * adv
+    path = os.path.join(out_dir, f"{name}.png")
+    write_png_gray8(path, width, height, bytes(px))
     return path
 
 

@@ -165,3 +165,45 @@ def test_font_atlas_info_roundtrip(tmp_path):
     assert len(root["advance"]) == n and len(root["kerning"]) == n
     assert all(len(row) == n for row in root["kerning"])
     assert root["glyph"]["mean_width"] >= 1
+
+
+def test_font_atlas_png_raster(tmp_path):
+    # K3 raster side: the PNG atlas must be a valid PNG whose dimensions
+    # equal the .info atlas size and whose per-cell ink width equals each
+    # glyph's advance (grid scan order = sorted alphabet, as in
+    # font.cpp:203-293's cairo loop).
+    import json
+
+    from osmgraft.functions.fontmetrics import (
+        DEFAULT_METRICS,
+        create_font_atlas_info,
+        read_png_gray8,
+        render_font_atlas_png,
+    )
+
+    alphabet = "ABLTVafijlmotw .-"
+    info_path = create_font_atlas_info(alphabet, "test_font", str(tmp_path))
+    png_path = render_font_atlas_png(alphabet, "test_font", str(tmp_path))
+    root = json.load(open(info_path))
+    w, h, px = read_png_gray8(png_path)
+    assert (w, h) == (root["atlas"]["size"]["width"], root["atlas"]["size"]["height"])
+    chars = root["alphabet"]
+    cell_w = root["glyph"]["width"]
+    cell_h = root["glyph"]["height"]
+    cols = root["atlas"]["dimension"]["columns"]
+    for i, c in enumerate(chars):
+        adv = DEFAULT_METRICS.advance(c)
+        cx, cy = (i % cols) * cell_w, (i // cols) * cell_h
+        mid = cy + cell_h // 2  # a row inside the ink band
+        row = px[mid * w + cx : mid * w + cx + cell_w]
+        assert row[:adv] == b"\xff" * adv, c
+        assert all(b == 0 for b in row[adv:]), c
+
+
+def test_png_gray8_roundtrip(tmp_path):
+    from osmgraft.functions.fontmetrics import read_png_gray8, write_png_gray8
+
+    pix = bytes(range(256)) * 4  # 32x32
+    p = str(tmp_path / "x.png")
+    write_png_gray8(p, 32, 32, pix)
+    assert read_png_gray8(p) == (32, 32, pix)
