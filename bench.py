@@ -179,6 +179,21 @@ def main() -> None:
 
     timed("ann_brute_topk", q_ann)
 
+    # Host-window calibration (same probes as tools/scaling_bench.py at 8
+    # procs, so the numbers are comparable with the campaign tables). The
+    # shared host's memory bandwidth varies >3x between windows and Spark
+    # scans/shuffles are membw-bound, so a bench record is only
+    # interpretable next to the window it ran in: compare calib_8.membw
+    # against the BASELINE.md campaign's membw column before comparing
+    # query walls.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from scaling_bench import calibrate
+
+        extras["calib_8"] = {k: round(v, 2) for k, v in calibrate(8).items()}
+    except Exception as e:  # calibration must never sink the bench record
+        extras["calib_8"] = {"err": str(e)[:80]}
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -126,7 +126,9 @@ def run_child(cpus: int, n_docs: int, iters: int) -> dict:
         text=True,
         cwd=REPO,
         env=env,
-        timeout=3600,
+        # warm-up + iters timed runs; budget scales with input so a slow
+        # co-tenancy window can't kill a big-input low-parallelism child
+        timeout=max(3600, int(n_docs / 500)),
     )
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
