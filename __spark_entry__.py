@@ -777,6 +777,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = adaptive_cell_split(pts, base_res=0, max_rows=5, max_res=3)
         return out.groupBy("cell").agg(F.count("*").alias("n"))
 
+    def q_legacy_split(spark, sf):
+        # L7 legacy char-count split (ref osmpoi.cpp:121-199, dead code in
+        # the reference — implemented for completeness). Pure Catalyst:
+        # the center-out delimiter scan is a filter(sequence)+struct-min
+        # argmin, the radius is byte-based (octet_length) like the C++
+        # std::string math.
+        from osmgraft.functions.labels import legacy_ball_radius_expr, legacy_split_expr
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        lbl = F.substring(F.col("text"), 1, 40)
+        split = legacy_split_expr(lbl, " -/")
+        return d.select(
+            "doc_id",
+            split.alias("split_label"),
+            legacy_ball_radius_expr(split).alias("radius"),
+        )
+
     def q_dedup_labels_pts(spark, sf):
         # J6 dedup semantics against a pure-SQL brute-force suppression:
         # keep a point iff no lower-pid point lies within the radius.
@@ -832,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
         "simhash_pairs": q_simhash_pairs,
+        "legacy_split": q_legacy_split,
     }
 
 
@@ -1131,5 +1149,38 @@ def oracle_sql() -> dict[str, str]:
             "select a.id as id_a, b.id as id_b, bit_count(xor(a.sig, b.sig)) as hamming "
             "from sigs a join sigs b on a.id < b.id "
             "where bit_count(xor(a.sig, b.sig)) <= 4"
+        ),
+        "legacy_split": (
+            # L7 legacy split replica (osmpoi.cpp:121-199). DuckDB length/
+            # substr/strpos are codepoint-based like the C++ u32string
+            # math; strlen is bytes like the std::string radius math. The
+            # center-out scan == argmin of |d-center|*2 + (d<center),
+            # encoded into one BIGINT (key*1e6 + d) for list_min.
+            r"with base as (select doc_id, substr(text, 1, 40) as s from documents), "
+            r"norm as (select doc_id, s, regexp_replace(s, "
+            r"'\r\n|[\n\x0B\x0C\r\x{0085}\x{2028}\x{2029}]|\^M', '%', 'g') as sn from base), "
+            "pick as (select doc_id, s, sn, case when sn <> s then '%' else ' -/' end as delims, "
+            "length(sn) as n, (length(sn) + 1) // 2 as center from norm), "
+            "cand as (select *, case when n >= 2 then "
+            "[ (abs(d - center) * 2 + case when d < center then 1 else 0 end) * 1000000 + d "
+            "for d in range(1, n) if strpos(delims, substr(sn, d + 1, 1)) > 0 ] "
+            "else [] end as ks from pick), "
+            "best as (select *, case when len(ks) = 0 then null else list_min(ks) % 1000000 end as d from cand), "
+            "split as (select doc_id, case when d is null then sn "
+            "else substr(replace(sn, '%', ' '), 1, d + 1) || '%' || substr(replace(sn, '%', ' '), d + 2) "
+            "end as r0 from best), "
+            "c1 as (select doc_id, case when strpos(r0, ' %') > 0 then "
+            "substr(r0, 1, strpos(r0, ' %') - 1) || '%' || substr(r0, strpos(r0, ' %') + 2) "
+            "else r0 end as r1 from split), "
+            "c2 as (select doc_id, case when strpos(r1, '% ') > 0 then "
+            "substr(r1, 1, strpos(r1, '% ') - 1) || '%' || substr(r1, strpos(r1, '% ') + 2) "
+            "else r1 end as res from c1) "
+            "select doc_id, res as split_label, "
+            "cast(case when strpos(res, '%') > 0 "
+            "then (case when strlen(substr(res, 1, strpos(res, '%') - 1)) > strlen(res) // 2 "
+            "then strlen(substr(res, 1, strpos(res, '%') - 1)) "
+            "else strlen(res) - strlen(substr(res, 1, strpos(res, '%') - 1)) end) "
+            "else (case when strlen(res) > strlen(res) // 2 then strlen(res) else 0 end) end / 2.0 "
+            "as double) as radius from c2"
         ),
     }

@@ -174,6 +174,143 @@ def compute_label_ball(
 
 
 # ---------------------------------------------------------------------------
+# L7: legacy char-count split (osmpoi.cpp:121-186 computeSplit,
+# :187-199 computeBallRadius). Dead code in the reference tree (no caller);
+# implemented for completeness with the evident intended semantics.
+#
+# Literal-bug note (pinned in tests, mirrored nowhere): the C++ '%'-to-space
+# scrub executes ``tmpLabel = tmpLabel[occ] = U' '`` (osmpoi.cpp:151-153,
+# 161-164) — ``basic_string::operator=(char32_t)`` collapses the WHOLE
+# string to a single space, after which the following ``substr(centerPos
+# + pos + 1, ...)`` throws std::out_of_range for any realistic split index.
+# Being unreachable, the bug has no observable behavior to reproduce; the
+# intent (scrub each '%' to ' ', then insert the split marker) is
+# unambiguous from the surrounding code and is what we implement.
+# ---------------------------------------------------------------------------
+
+# osmpoi.cpp:109-119 NEWLINE[] in declaration order. Sequential first-form
+# full replacement is equivalent to one ordered-alternation regex pass
+# because every replacement emits '%', which no form contains (so no new
+# matches are created) and CRLF precedes CR and LF in both schemes.
+_LEGACY_NEWLINE_RE = "\r\n|[\n\u000b\u000c\r\u0085\u2028\u2029]|\\^M"
+
+
+def legacy_compute_split(label: str, delims: frozenset[str]) -> str:
+    """Python reference for computeSplit (osmpoi.cpp:121-186).
+
+    The C++ scans pos=0,1,.. outward from centerPos=(len+1)/2 (0-based,
+    codepoints), probing centerPos+pos before centerPos-pos — equivalent to
+    choosing the delimiter index d minimizing ``|d-center|*2 + (d<center)``.
+    Every index 1..len-1 satisfies the ``pos < centerPos`` bound, so the
+    scan degenerates to "delimiter nearest the center, ties to the right".
+    The index-==-size probe reads u32string's NUL terminator (defined in
+    C++11, never a delimiter) and is dropped.
+    """
+    s = label
+    newline = False
+    for form in NEWLINE_FORMS:
+        while form in s:
+            newline = True
+            s = s.replace(form, "%", 1)
+    if newline:
+        return legacy_compute_split(s, frozenset("%"))
+
+    n = len(s)
+    center = (n + 1) // 2
+    best: tuple[int, int] | None = None
+    for d in range(1, n):
+        if s[d] in delims:
+            key = abs(d - center) * 2 + (1 if d < center else 0)
+            if best is None or key < best[0]:
+                best = (key, d)
+
+    result = s
+    if best is not None:
+        d = best[1]
+        cleaned = s.replace("%", " ")
+        result = cleaned[: d + 1] + "%" + cleaned[d + 1 :]
+    # first-occurrence cleanups, applied even on the no-split path
+    # (osmpoi.cpp:180-183)
+    if " %" in result:
+        result = result.replace(" %", "%", 1)
+    if "% " in result:
+        result = result.replace("% ", "%", 1)
+    return result
+
+
+def legacy_ball_radius(label: str) -> float:
+    """computeBallRadius (osmpoi.cpp:187-199): BYTE-based (std::string
+    indices on UTF-8), radius = larger 'half' / 2.0; the '%' itself counts
+    into the second half."""
+    b = label.encode("utf-8")
+    delim_pos = b.find(b"%")
+    if delim_pos < 0:
+        delim_pos = len(b)
+    label_size = delim_pos if delim_pos > len(b) // 2 else len(b) - delim_pos
+    return label_size / 2.0
+
+
+def _replace_first_expr(c: Column, pat: str) -> Column:
+    """Replace the FIRST occurrence of 2-char ``pat`` with '%'."""
+    p = F.instr(c, pat)
+    return F.when(
+        p > 0,
+        F.concat(F.substring(c, F.lit(1), p - 1), F.lit("%"), F.substring(c, p + 2, F.length(c))),
+    ).otherwise(c)
+
+
+def legacy_split_expr(label, delims: str) -> Column:
+    """Pure-Catalyst legacy split — no Python in the scan path.
+
+    Candidate positions come from a ``filter(sequence(...))`` over
+    codepoint indices with a struct-min argmin; all string ops are
+    codepoint-based builtins, so the whole expression stays inside
+    WholeStageCodegen.
+    """
+    c = F.col(label) if isinstance(label, str) else label
+    s = F.regexp_replace(c, _LEGACY_NEWLINE_RE, "%")
+    delim_lit = F.when(s != c, F.lit("%")).otherwise(F.lit("".join(sorted(delims))))
+
+    n = F.length(s)
+    center = F.floor((n + 1) / F.lit(2)).cast("int")
+    ds = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    cands = F.filter(ds, lambda d: F.contains(delim_lit, F.substring(s, d + 1, F.lit(1))))
+    keyed = F.transform(
+        cands,
+        lambda d: F.struct(
+            (F.abs(d - center) * 2 + F.when(d < center, 1).otherwise(0)).alias("k"),
+            d.alias("d"),
+        ),
+    )
+    best_d = F.array_min(keyed)["d"]
+
+    cleaned = F.translate(s, "%", " ")
+    result = F.when(best_d.isNull(), s).otherwise(
+        F.concat(
+            F.substring(cleaned, F.lit(1), best_d + 1),
+            F.lit("%"),
+            F.substring(cleaned, best_d + 2, n),
+        )
+    )
+    return _replace_first_expr(_replace_first_expr(result, " %"), "% ")
+
+
+def legacy_ball_radius_expr(label) -> Column:
+    """Catalyst twin of :func:`legacy_ball_radius` (byte semantics via
+    octet_length)."""
+    c = F.col(label) if isinstance(label, str) else label
+    blen = F.octet_length(c)
+    p = F.instr(c, "%")
+    delim_pos = F.when(p > 0, F.octet_length(F.substring(c, F.lit(1), p - 1))).otherwise(blen)
+    label_size = F.when(delim_pos > F.floor(blen / F.lit(2)), delim_pos).otherwise(
+        blen - delim_pos
+    )
+    return (label_size / F.lit(2.0)).cast("double")
+
+
+# ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
 

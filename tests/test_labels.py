@@ -207,3 +207,70 @@ def test_png_gray8_roundtrip(tmp_path):
     p = str(tmp_path / "x.png")
     write_png_gray8(p, 32, 32, pix)
     assert read_png_gray8(p) == (32, 32, pix)
+
+
+# ---------------------------------------------------------------------------
+# L7 legacy char-count split (osmpoi.cpp:121-199, dead reference code —
+# implemented for completeness with the intended semantics; the literal
+# C++ '%'-scrub bug collapses the string and throws, see labels.py note).
+# ---------------------------------------------------------------------------
+
+def test_legacy_split_matches_python_reference_cases():
+    from osmgraft.functions.labels import legacy_compute_split
+
+    d = frozenset(" -/")
+    # hand-derived expectations following osmpoi.cpp literally
+    assert legacy_compute_split("", d) == ""
+    assert legacy_compute_split("a", d) == "a"
+    assert legacy_compute_split("abcdef", d) == "abcdef"          # no delim
+    assert legacy_compute_split("abc def", d) == "abc%def"        # space scrubbed + marker
+    assert legacy_compute_split("foo\nbar", d) == "foo%bar"       # newline -> '%' delims
+    assert legacy_compute_split("a^Mb", d) == "a%b"               # literal ^M form
+    # ties go to the right of center: "ab cd ef" center=4(' ' at 2 and 5):
+    # |2-4|*2+1=5, |5-4|*2+0=2 -> d=5
+    assert legacy_compute_split("ab cd ef", d) == "ab cd%ef"
+    # no-split path still applies first-occurrence cleanups
+    assert legacy_compute_split("a %b", frozenset()) == "a%b"
+
+
+def test_legacy_ball_radius_bytes():
+    from osmgraft.functions.labels import legacy_ball_radius
+
+    # byte semantics: "café%x" -> first half 5 bytes (é is 2), second 2
+    assert legacy_ball_radius("café%x") == 2.5
+    assert legacy_ball_radius("ab%cdef") == 2.5   # len 7, delim_pos 2 <= 3 -> 7-2=5
+    assert legacy_ball_radius("abcd") == 2.0      # no '%': larger half = whole
+    assert legacy_ball_radius("") == 0.0
+
+
+def test_legacy_split_expr_parity_randomized(spark):
+    """Catalyst expression == Python reference on a seeded random corpus
+    covering unicode, every newline form, literal '%', and tie layouts."""
+    import random
+
+    from osmgraft.functions.labels import (
+        NEWLINE_FORMS,
+        legacy_ball_radius,
+        legacy_ball_radius_expr,
+        legacy_compute_split,
+        legacy_split_expr,
+    )
+
+    rng = random.Random(1234)
+    alphabet = list("abc XY-/%ä日") + list(NEWLINE_FORMS)
+    cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24))) for _ in range(300)]
+    delims = " -/"
+
+    want = [legacy_compute_split(s, frozenset(delims)) for s in cases]
+    want_r = [legacy_ball_radius(w) for w in want]
+
+    df = spark.createDataFrame(list(enumerate(cases)), "id int, s string")
+    split = legacy_split_expr("s", delims)
+    got = (
+        df.select("id", split.alias("r"), legacy_ball_radius_expr(split).alias("rad"))
+        .orderBy("id")
+        .collect()
+    )
+    for i, row in enumerate(got):
+        assert row["r"] == want[i], (i, cases[i], row["r"], want[i])
+        assert row["rad"] == want_r[i], (i, cases[i])
