@@ -193,6 +193,21 @@ def main() -> None:
     ]
     sections.append(("simhash default path — JVM hash + one Arrow vote, shuffle-free", p10, notes10))
 
+    # 11. L7 legacy split — whole split + radius as one narrow JVM
+    # projection over a pruned scan (no Python, no shuffle)
+    from osmgraft.functions.labels import legacy_ball_radius_expr, legacy_split_expr
+
+    lbl = F.substring(F.col("text"), 1, 40)
+    sp = legacy_split_expr(lbl, " -/")
+    q11 = d.select("doc_id", sp.alias("split_label"), legacy_ball_radius_expr(sp).alias("radius"))
+    p11 = plan_of(q11)
+    notes11 = [
+        f"no Python in the plan: {'ArrowEvalPython' not in p11 and 'BatchEvalPython' not in p11}",
+        f"no shuffle (single narrow projection): {'Exchange' not in p11}",
+        f"scan pruned to (doc_id, text): {'struct<doc_id:bigint,text:string>' in p11}",
+    ]
+    sections.append(("L7 legacy split — one narrow codegen-free JVM projection", p11, notes11))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
