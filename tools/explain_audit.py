@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+_ARROW_OP_RE = r"^[(]\d+[)] ArrowEvalPython"
 
 
 def plan_of(df) -> str:
@@ -188,7 +189,9 @@ def main() -> None:
     p10 = plan_of(q10)
     notes10 = [
         f"token hashing in JVM (xxhash64 in plan): {'xxhash64' in p10}",
-        f"exactly one Arrow crossing (the vote kernel): {p10.count('ArrowEvalPython') == 1}",
+        # formatted explain names each operator twice (tree + detail block)
+        "exactly one Arrow crossing (the vote kernel): "
+        + str(len(re.findall(_ARROW_OP_RE, p10, re.M)) == 1),
         f"no shuffle in the signature pass: {'Exchange' not in p10}",
     ]
     sections.append(("simhash default path — JVM hash + one Arrow vote, shuffle-free", p10, notes10))
