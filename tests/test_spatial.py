@@ -438,3 +438,38 @@ def test_polar_sentinel_probes_single_cell(spark):
     assert got[1]["cand"] == [got[1]["_cell"]]  # south cap: own sentinel only
     assert got[0]["_cell"] != got[1]["_cell"]   # hemispheres stay distinct
     assert len(got[2]["cand"]) == 7             # grid row: full disk(1)
+
+
+def test_knn_probe_k_equivalence(spark):
+    # disk(k) probing at k-times-finer cells (the default k=3 scale path,
+    # commit d01bbc9) must emit EXACTLY the pair set of the conservative
+    # k=1 probe on data spanning band edges, the antimeridian, and a cap.
+    from osmgraft.operators.knn import knn_candidates
+
+    rng = np.random.default_rng(23)
+    lats = np.concatenate([
+        rng.uniform(-80, 80, 120),
+        rng.normal(45.573, 0.05, 30),     # band edge
+        rng.normal(85.0, 0.5, 20),        # polar cap
+        rng.uniform(-0.1, 0.1, 30),       # equator cluster -> dense pairs
+    ])
+    lons = np.concatenate([
+        rng.uniform(-180, 180, 120),
+        rng.uniform(-1, 1, 30),
+        rng.uniform(-180, 180, 20),
+        rng.normal(179.95, 0.1, 30),      # antimeridian
+    ])
+    lons = ((lons + 180.0) % 360.0) - 180.0
+    rows = [(i, float(a), float(o)) for i, (a, o) in enumerate(zip(lats, lons))]
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+
+    def pairs(k):
+        return sorted(
+            (r["pid"], r["pid_r"], round(r["dist_m"], 6))
+            for r in knn_candidates(df, df, 25_000.0, probe_k=k).collect()
+            if r["pid"] < r["pid_r"]
+        )
+
+    p1, p3 = pairs(1), pairs(3)
+    assert p1 == p3
+    assert len(p1) > 50
