@@ -151,6 +151,10 @@ def write_png_gray8(path: str, width: int, height: int, pixels: bytes) -> None:
     import struct
     import zlib
 
+    if width <= 0 or height <= 0:
+        # IHDR width/height of zero is invalid per the PNG spec; writing a
+        # 0x0 file would only blow up in downstream readers
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
     raw = b"".join(

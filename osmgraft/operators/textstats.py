@@ -54,18 +54,26 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """n-gram-free heuristic language id: argmax of stopword hits with a
-    deterministic tie order (en > de > fr > unknown)."""
+    deterministic tie order (en > de > fr > unknown).
+
+    The split is materialized ONCE in a lower projection (`_w`): Catalyst's
+    CollapseProject will not inline a non-cheap alias referenced more than
+    once, so the three counters share a single regex-split pass instead of
+    re-splitting per counter (subexpression elimination does not reliably
+    dedupe higher-order-function trees)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    en = _stop_hits(words, EN_STOP)
-    de = _stop_hits(words, DE_STOP)
-    fr = _stop_hits(words, FR_STOP)
+    base = df.select(F.col(id_col), words.alias("_w"))
+    w = F.col("_w")
+    en = _stop_hits(w, EN_STOP)
+    de = _stop_hits(w, DE_STOP)
+    fr = _stop_hits(w, FR_STOP)
     lang = (
         F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
         .when((de >= fr) & (de > 0), F.lit("de"))
         .when(fr > 0, F.lit("fr"))
         .otherwise(F.lit("unknown"))
     )
-    return df.select(F.col(id_col), en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"), lang.alias("lang_guess"))
+    return base.select(F.col(id_col), en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"), lang.alias("lang_guess"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
