@@ -108,12 +108,12 @@ def test_hex_neighbors_contain_nearby(spark):
 
 
 def _brute_pip(points, polys):
-    from osmgraft.operators.pip import point_in_ring, _closed
+    from osmgraft.operators.pip import closed_ring, point_in_ring
 
     out = set()
     for pid, la, lo in points:
         for qid, rl, rg in polys:
-            if point_in_ring(la, lo, _closed(np.array(rl)), _closed(np.array(rg))):
+            if point_in_ring(la, lo, *closed_ring(np.array(rl), np.array(rg))):
                 out.add((pid, qid))
     return out
 
@@ -152,6 +152,101 @@ def test_pip_join_matches_bruteforce(spark, pip_data, strategy):
     want = _brute_pip(points, polys)
     assert got == want
     assert len(want) > 10  # non-trivial
+
+
+def test_pip_cover_continent_bounded():
+    """A continent-sized polygon (40x40 deg) at DEFAULT res must stay under
+    the covering budget instead of exploding into ~10^6 join rows (the
+    round-3 fixed-res bbox covering did exactly that)."""
+    from osmgraft.functions.cells import unpack_hex
+    from osmgraft.operators.pip import _cover_one, cover_ladder
+
+    rl = np.array([0.0, 40.0, 40.0, 0.0])
+    rg = np.array([0.0, 0.0, 40.0, 40.0])
+    cells_out = _cover_one(rl, rg, cover_ladder(7), 128)
+    # adaptive ladder: perimeter 160deg + area 1600deg^2 only fits res 0
+    # (edge 5.12deg) -> interior ~ area/hex_area ~ 230 + boundary halo
+    assert len(cells_out) <= 1000
+    _, _, res = unpack_hex(cells_out)
+    assert set(res.tolist()) == {0}
+
+
+def test_pip_cover_skinny_not_bbox():
+    """A skinny diagonal strip must cover O(perimeter/cell), NOT the bbox
+    grid: ring rasterization keeps it at a fine resolution with a small
+    covering, where bbox covering at the same res would emit ~10^5 cells."""
+    from osmgraft.functions.cells import unpack_hex
+    from osmgraft.operators.pip import _cover_one, cover_ladder
+
+    # 30-deg diagonal, 0.2-deg wide
+    rl = np.array([0.0, 30.0, 30.0 + 0.2, 0.2])
+    rg = np.array([0.0, 30.0, 30.0 - 0.2, -0.2])
+    cells_out = _cover_one(rl, rg, cover_ladder(7), 128)
+    _, _, res = unpack_hex(cells_out)
+    r = int(res[0])
+    assert len(cells_out) <= 600
+    assert r >= 1  # stays FINE (selective), doesn't fall to the ladder floor
+    # the round-3 fixed-res bbox covering at the default res 7 would emit
+    # the full 30x30-deg grid — orders of magnitude more join rows
+    size7 = cells.hex_edge_deg(7)
+    bbox_cells_old = (30.0 / (1.5 * size7)) * (30.0 / (math.sqrt(3) * size7))
+    assert bbox_cells_old > 1000 * len(cells_out)
+
+
+def test_pip_cover_superset_of_inside_cells():
+    """Covering completeness: for random polygons, every point inside the
+    polygon must find the polygon through the cell it emits at the
+    covering's resolution (the join-correctness invariant)."""
+    from osmgraft.functions.cells import hex_cell, unpack_hex
+    from osmgraft.operators.pip import _cover_one, closed_ring, cover_ladder, point_in_ring
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        cx, cy = rng.uniform(-60, 60), rng.uniform(-120, 120)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, rng.integers(4, 12)))
+        rad = rng.uniform(0.2, 25.0)
+        rl = cx + rad * np.sin(ang)
+        rg = cy + rad * np.cos(ang)
+        cover = _cover_one(rl, rg, cover_ladder(7), 128)
+        assert 0 < len(cover) <= 1200
+        _, _, resbits = unpack_hex(cover)
+        res = int(resbits[0])
+        cover_set = set(cover.tolist())
+        pts_la = rng.uniform(rl.min(), rl.max(), 200)
+        pts_lo = rng.uniform(rg.min(), rg.max(), 200)
+        crl, crg = closed_ring(rl, rg)
+        inside = [
+            (la, lo) for la, lo in zip(pts_la, pts_lo) if point_in_ring(la, lo, crl, crg)
+        ]
+        for la, lo in inside:
+            c = int(hex_cell(np.array([la]), np.array([lo]), res)[0])
+            assert c in cover_set, f"trial {trial}: inside point's cell missing"
+
+
+def test_pip_join_continent_polygon(spark):
+    """End-to-end: the partitioned join stays correct (vs brute force) when
+    the polygon set mixes a continent-sized polygon with small ones."""
+    from osmgraft.operators.pip import pip_join
+
+    rng = np.random.default_rng(5)
+    polys = [(0, [-20.0, 25.0, 25.0, -20.0], [-20.0, -20.0, 25.0, 25.0])]
+    for q in range(1, 6):
+        cx, cy = rng.uniform(-30, 30), rng.uniform(-30, 30)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, 6))
+        r = rng.uniform(0.5, 2.0)
+        polys.append((q, (cx + r * np.sin(ang)).tolist(), (cy + r * np.cos(ang)).tolist()))
+    points = [(i, float(rng.uniform(-35, 35)), float(rng.uniform(-35, 35))) for i in range(400)]
+    pts_df = spark.createDataFrame(points, "pid long, lat double, lon double")
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, ring_lats array<double>, ring_lons array<double>"
+    )
+    got = {
+        (r["pid"], r["poly_id"])
+        for r in pip_join(pts_df, polys_df, strategy="partitioned").collect()
+    }
+    want = _brute_pip(points, polys)
+    assert got == want
+    assert len(want) > 120  # the continent polygon contains ~40% of points
 
 
 # --- kNN dedup ------------------------------------------------------------------
