@@ -98,6 +98,49 @@ def _stage_media_oracle(n: int = 200) -> str:
     return _MEDIA_ORACLE_PATH
 
 
+_WAV_ORACLE_PATH = "/tmp/osmgraft_wav_oracle.parquet"
+
+
+def _stage_wav_oracle(n: int = 150) -> str:
+    """Deterministic VALID PCM16 WAV payloads (sine + content-keyed phase)
+    staged without Spark. The ``rate`` column is the oracle's side-channel:
+    DuckDB recomputes n_samples/duration arithmetically from
+    ``octet_length`` + ``rate`` (canonical 44-byte header, 2 bytes/sample),
+    while the Spark side must recover both from the BYTES alone."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmgraft.operators.multimodal import encode_wav_pcm16
+
+    if os.path.exists(_WAV_ORACLE_PATH):
+        return _WAV_ORACLE_PATH
+    rates = (8000, 16000, 44100)
+    ids, rate_col, payloads = [], [], []
+    for i in range(n):
+        rate = rates[i % 3]
+        n_samples = 400 + (i * 97) % 4000
+        t = np.arange(n_samples) / rate
+        freq = 200.0 + 13.0 * i
+        wave = 0.7 * np.sin(2 * np.pi * freq * t + 0.01 * i)
+        ids.append(i)
+        rate_col.append(rate)
+        payloads.append(encode_wav_pcm16(wave, rate))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rate": pa.array(rate_col, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        _WAV_ORACLE_PATH,
+    )
+    return _WAV_ORACLE_PATH
+
+
 def _s2_oracle_sql(level: int = 12) -> str:
     """Bit-exact DuckDB replica of osmgraft.functions.cells.s2_cell_id over
     the shared pts derivation: face selection + quadratic (u,v)->(s,t) +
@@ -764,6 +807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_media_oracle())
         return extract_features(media, dim=16).select("media_id", "n_bytes")
 
+    def q_wav_decode(spark, sf):
+        # the real stdlib WAV codec: sample_rate / n_samples / duration_ms
+        # recovered from the payload BYTES (media_id + payload only — the
+        # staged `rate` column is the oracle's, not ours)
+        from osmgraft.operators.multimodal import wav_decode_meta
+
+        media = spark.read.parquet(_stage_wav_oracle()).select("media_id", "payload")
+        return wav_decode_meta(media)
+
     def q_hex_cells(spark, sf):
         from osmgraft.functions.cells import hex_cell_udf
 
@@ -845,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        "wav_decode": q_wav_decode,
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
@@ -1118,6 +1171,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             f"select media_id, cast(octet_length(payload) as bigint) as n_bytes "
             f"from read_parquet('{_stage_media_oracle()}')"
+        ),
+        "wav_decode": (
+            # canonical PCM16 mono: 44-byte header, 2 bytes/sample; integer
+            # math mirrors the kernel's n*1000 // rate exactly
+            f"select media_id, rate as sample_rate, "
+            "(octet_length(payload) - 44) // 2 as n_samples, "
+            "(((octet_length(payload) - 44) // 2) * 1000) // rate as duration_ms "
+            f"from read_parquet('{_stage_wav_oracle()}')"
         ),
         "dedup_labels_pts": (
             f"with p as ({_PTS_SQL}) "

@@ -5,24 +5,48 @@ engine pipeline (decode -> classify -> areas -> rank -> label -> tile) on
 the interleaved documents table, plus per-query wall times for the other
 operator families at $SPARK_GRAFT_SF_DIR.
 
-The synthetic documents table is staged once under /tmp (generation is NOT
-part of the measured time; the input is a parquet table, as in the target
-deployment). Scale of the synth table tracks the sf dir (sf0.1 -> 60k docs).
+Window-proof protocol (the sandbox host's CPU/memory bandwidth swings
+2-7x between co-tenancy windows, so a single-pass record is
+uninterpretable on its own):
+
+- queries run INTERLEAVED over several rounds (q1..q6, q1..q6, ...) and
+  the reported per-query number is the MEDIAN across rounds — a slow
+  window hits all queries of that round symmetrically instead of pinning
+  one query to a bogus number;
+- the cpu/membw calibration probes BRACKET the campaign: one before
+  round 1, one after each round, so every round sits between two probe
+  samples describing the window it actually ran in;
+- probes run in a SUBPROCESS (never fork a pool inside the live Spark
+  driver JVM) with a hard timeout;
+- per-round samples and all probe samples are written into the artifact,
+  so round-over-round comparison needs no forensic work.
+
+The synthetic documents table is staged once under /tmp (generation is
+NOT part of the measured time; the input is a parquet table, as in the
+target deployment). The staged labels table is keyed on a fingerprint of
+the osmgraft package source so a code change can never silently reuse
+stale labels.
 
 Env:
-  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    (default 32)
-  OSMGRAFT_BENCH_DOCS (override synth doc count)
+  SPARK_GRAFT_SF_DIR    (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      (default 32)
+  OSMGRAFT_BENCH_DOCS   (override synth doc count)
+  OSMGRAFT_BENCH_ROUNDS (interleaved rounds, default 3)
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -38,15 +62,57 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
+def _fingerprint(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def synth_fingerprint() -> str:
+    """Docs/blobs staging key: the synth output depends only on the
+    generator code + params, so only synth.py participates."""
+    return _fingerprint([f"{REPO}/osmgraft/sources/synth.py"])
+
+
+def pkg_fingerprint() -> str:
+    """Labels staging key: the label pipeline can be touched from anywhere
+    in the package, so the whole source tree participates."""
+    return _fingerprint(glob.glob(f"{REPO}/osmgraft/**/*.py", recursive=True))
+
+
 def stage_synth(spark, n_docs: int) -> tuple[str, str]:
-    """Generate (once) and cache the interleaved docs+blobs parquet."""
+    """Generate (once per synth-code version) the interleaved docs+blobs
+    parquet."""
     from osmgraft.sources.synth import SynthParams, write_synth
 
-    root = f"/tmp/osmgraft_bench_{SEED}_{n_docs}"
+    root = f"/tmp/osmgraft_bench_{SEED}_{n_docs}_{synth_fingerprint()}"
     docs_p, blobs_p = f"{root}/documents.parquet", f"{root}/blobs.parquet"
     if not (os.path.exists(f"{docs_p}/_SUCCESS") and os.path.exists(f"{blobs_p}/_SUCCESS")):
         write_synth(spark, root, SynthParams(n_docs=n_docs, seed=SEED), partitions=CPUS * 2)
     return docs_p, blobs_p
+
+
+def calibrate_probe(procs: int = 8, timeout: int = 300) -> dict:
+    """Host-window calibration (same probes as tools/scaling_bench.py at
+    the same proc count, so numbers are comparable with the campaign
+    tables). Runs in a child interpreter: multiprocessing pools must not
+    fork the live Spark driver (JVM/py4j threads present — a fork-induced
+    hang would stall the bench and isn't an exception)."""
+    code = (
+        "import sys, json; sys.path.insert(0, {!r}); "
+        "from scaling_bench import calibrate; "
+        "print(json.dumps(calibrate({})))".format(os.path.join(REPO, "tools"), procs)
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        return {k: round(v, 2) for k, v in json.loads(line).items()}
+    except Exception as e:  # calibration must never sink the bench record
+        return {"err": str(e)[:80]}
 
 
 def main() -> None:
@@ -55,25 +121,8 @@ def main() -> None:
     spark = get_spark(app_name="osmgraft-bench", cores=CPUS, shuffle_partitions=CPUS)
     sf = sf_of(SF_DIR)
     n_docs = int(os.environ.get("OSMGRAFT_BENCH_DOCS", str(max(2000, int(600_000 * sf)))))
+    rounds = int(os.environ.get("OSMGRAFT_BENCH_ROUNDS", "3"))
     docs_path, blobs_path = stage_synth(spark, n_docs)
-
-    times: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    # the sandbox host delivers wildly variable CPU between runs (2-3x
-    # wall swings on identical jobs); report the per-query MEDIAN of
-    # several trials so a single co-tenancy spike doesn't pin a bogus
-    # number into the round record
-    trials = int(os.environ.get("OSMGRAFT_BENCH_TRIALS", "3"))
-
-    def timed(name: str, fn):
-        samples = []
-        out = None
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            out = fn()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
-        return out
 
     docs = spark.read.parquet(docs_path)
     blobs = spark.read.parquet(blobs_path)
@@ -112,18 +161,26 @@ def main() -> None:
 
     _warmup()
 
-    # q1: flagship — full pipeline to tiled labels (count materializes all)
+    # q3's input: the pipeline that derives the labels is q1's measurement;
+    # staging it once (untimed, like the docs synth) keeps q3 a clean
+    # per-operator number instead of re-paying the pipeline cost every
+    # round. Keyed on the PACKAGE fingerprint: a pipeline code change must
+    # invalidate the staged labels.
+    labels_path = f"{docs_path.rsplit('/', 1)[0]}/labels_{pkg_fingerprint()}.parquet"
+    if not os.path.exists(f"{labels_path}/_SUCCESS"):
+        from osmgraft.plans.pipeline import label_pipeline
+
+        label_pipeline(spark, docs, blobs).write.mode("overwrite").parquet(labels_path)
+    staged_labels = spark.read.parquet(labels_path)
+
+    # ---- queries ----------------------------------------------------------
+
     def q_pipeline():
         from osmgraft.operators.tiles import assign_tiles
         from osmgraft.plans.pipeline import label_pipeline
 
         return assign_tiles(label_pipeline(spark, docs, blobs), z=12).count()
 
-    n_labels = timed("osm_pipeline_tiles", q_pipeline)
-    extras["poi_rows"] = n_labels
-    extras["poi_rows_per_sec"] = round(n_labels / times["osm_pipeline_tiles"], 1)
-
-    # q2: PIP join of node POIs against admin polygons (partitioned strategy)
     def q_pip():
         from osmgraft.operators.pip import pip_join
         from osmgraft.sources.decode import decode_documents
@@ -132,44 +189,22 @@ def main() -> None:
         pts = frames.node_pois.select("osm_id", "lat", "lon")
         return pip_join(pts, frames.polygons, strategy="partitioned", res=4).count()
 
-    timed("pip_partitioned", q_pip)
-
-    # q3: kNN label dedup at 2km over a staged label table. The pipeline
-    # that derives the labels is q1's measurement; staging it once
-    # (untimed, like the docs synth) keeps this query a clean per-operator
-    # number instead of re-paying the pipeline cost every trial.
-    labels_path = f"{docs_path.rsplit('/', 1)[0]}/labels.parquet"
-    if not os.path.exists(f"{labels_path}/_SUCCESS"):
-        from osmgraft.plans.pipeline import label_pipeline
-
-        label_pipeline(spark, docs, blobs).write.mode("overwrite").parquet(labels_path)
-    staged_labels = spark.read.parquet(labels_path)
-
     def q_dedup():
         from osmgraft.operators.knn import dedup_labels
 
         return dedup_labels(staged_labels, radius_m=2000.0).count()
 
-    timed("knn_dedup_2km", q_dedup)
-
-    # q4: classification + two-phase global rank over the sf customer table
     def q_rank():
         from __spark_entry__ import queries
 
         return queries()["global_rank"](spark, SF_DIR).count()
 
-    timed("classify_global_rank", q_rank)
-
-    # q5: MinHash LSH near-dup pairs over the sf documents table
     def q_minhash():
         from osmgraft.operators.dedup import minhash_lsh_pairs
 
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
         return minhash_lsh_pairs(d, num_hashes=32, bands=8, verify_threshold=0.5).count()
 
-    timed("minhash_lsh_docs", q_minhash)
-
-    # q6: brute-force cosine top-k over the sf embeddings table
     def q_ann():
         from osmgraft.operators.simsearch import brute_force_topk
 
@@ -177,23 +212,30 @@ def main() -> None:
         qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
         return brute_force_topk(emb, qv, 10).count()
 
-    timed("ann_brute_topk", q_ann)
+    QUERIES = [
+        ("osm_pipeline_tiles", q_pipeline),
+        ("pip_partitioned", q_pip),
+        ("knn_dedup_2km", q_dedup),
+        ("classify_global_rank", q_rank),
+        ("minhash_lsh_docs", q_minhash),
+        ("ann_brute_topk", q_ann),
+    ]
 
-    # Host-window calibration (same probes as tools/scaling_bench.py at 8
-    # procs, so the numbers are comparable with the campaign tables). The
-    # shared host's memory bandwidth varies >3x between windows and Spark
-    # scans/shuffles are membw-bound, so a bench record is only
-    # interpretable next to the window it ran in: compare calib_8.membw
-    # against the BASELINE.md campaign's membw column before comparing
-    # query walls.
-    try:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from scaling_bench import calibrate
+    # ---- interleaved campaign with bracketing probes -----------------------
 
-        extras["calib_8"] = {k: round(v, 2) for k, v in calibrate(8).items()}
-    except Exception as e:  # calibration must never sink the bench record
-        extras["calib_8"] = {"err": str(e)[:80]}
+    samples: dict[str, list[float]] = {name: [] for name, _ in QUERIES}
+    calib_samples: list[dict] = [calibrate_probe()]  # probe BEFORE round 1
+    n_labels = 0
+    for _ in range(rounds):
+        for name, fn in QUERIES:
+            t0 = time.perf_counter()
+            out = fn()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            if name == "osm_pipeline_tiles":
+                n_labels = out
+        calib_samples.append(calibrate_probe())  # probe AFTER each round
 
+    times = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -205,7 +247,11 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "n_docs": n_docs,
-                **extras,
+                "rounds": rounds,
+                "poi_rows": n_labels,
+                "poi_rows_per_sec": round(n_labels / times["osm_pipeline_tiles"], 1),
+                "query_samples": samples,
+                "calib_8_samples": calib_samples,
             }
         )
     )

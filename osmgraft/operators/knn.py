@@ -320,6 +320,109 @@ def knn_join(
     return cand.withColumn("knn_rank", F.row_number().over(w)).where(F.col("knn_rank") <= k)
 
 
+def _dedup_frames(
+    slim: DataFrame,
+    radius_m: float,
+    rank_col: str,
+    id_col: str,
+    probe_k: int,
+    hot_threshold: int = 200,
+) -> dict[str, DataFrame]:
+    """Adaptive suppression plan for :func:`dedup_labels` — intermediate
+    frames exposed for the candidate-bound test.
+
+    Suppression only needs "EXISTS a better-ranked label within r", so the
+    all-pairs enumeration — quadratic in local label density: a 10^4-label
+    hot cell => ~10^8 candidate pairs through the haversine — is bounded
+    by routing each label through one of two sides of the SAME plan
+    (no driver action; the split is a column from the stats aggregation):
+
+    - ``cell_stats``: one groupBy over the right cell emission yields, per
+      occupied cell, its min-rank LEADER row and its row count. A label
+      whose own cell holds more than ``hot_threshold`` rows is HOT.
+    - HOT labels probe their disk(probe_k) against leaders only — LINEAR
+      (<= 3k(k+1)+1 probe rows each, one leader per cell). A hot label
+      with a better-ranked leader within r is suppressed right there (in
+      a dense cluster that is almost everyone); one with a better-ranked
+      leader in the disk but beyond r is ``undecided`` and falls through
+      to the exact join. Equivalence: any true suppressor M sits in a
+      probed cell, whose leader ranks <= M — so a hot label is phase-1
+      suppressed or undecided, never wrongly kept.
+    - COLD labels take the exact pair join unchanged (sparse regions pay
+      zero extra stages beyond the stats shuffle; the residual quadratic
+      term is cold-rows-adjacent-to-hot-cells x hot density).
+
+    Both routes apply the identical (dist <= r, rank <, id !=) predicate
+    against the complete label set, so the union of suppressions equals
+    the all-pairs result exactly (tested, incl. antimeridian + caps)."""
+    rank_r, id_r = F.col(f"{rank_col}_r"), F.col(f"{id_col}_r")
+
+    r_exp = slim.select(
+        _suffix_right(slim)
+        + [F.explode(_right_cells_udf(radius_m, probe_k)(F.col("lat"), F.col("lon"))).alias("_cell_r")]
+    ).where(F.col("_cell_r") != -1)
+    cell_stats = r_exp.groupBy("_cell_r").agg(
+        F.min(F.struct(rank_r, id_r, F.col("lat_r"), F.col("lon_r"))).alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    # three consumers (leaders, hot flag, cold flag) would each re-run the
+    # emission + stats shuffle; materialize the small per-cell frame once
+    cell_stats = cell_stats.localCheckpoint(eager=True)
+    leaders = cell_stats.select("_cell_r", "_m.*")
+
+    l_cell = _left_cell_udf(radius_m, probe_k)(F.col("lat"), F.col("lon"))
+    l_all = slim.withColumn("_cell", l_cell)
+
+    def probe_join(left_frame: DataFrame, right_frame: DataFrame) -> DataFrame:
+        ex = left_frame.withColumn("_cand", F.explode(_left_cand_expr(F.col("_cell"), probe_k)))
+        out = ex.join(right_frame, ex["_cand"] == right_frame["_cell_r"])
+        return out.withColumn(
+            "dist_m", haversine_m(F.col("lat"), F.col("lon"), F.col("lat_r"), F.col("lon_r"))
+        )
+
+    hit = (F.col("dist_m") <= radius_m) & (rank_r < F.col(rank_col)) & (id_r != F.col(id_col))
+
+    # the hot-cell list is small BY CONSTRUCTION (<= total/hot_threshold
+    # entries), so flagging is a broadcast left join — no shuffle of the
+    # label side; the driver-side emptiness probe on the materialized
+    # stats frame is ~free and lets sparse inputs skip the hot branch
+    # (their plan = exact join + the one stats shuffle)
+    hot_cells = cell_stats.where(F.col("_n") > hot_threshold).select(
+        F.col("_cell_r").alias("_cell"), F.lit(True).alias("_hot")
+    )
+    if hot_cells.isEmpty():
+        hot_l = cold_l = None
+        phase1 = undecided = None
+        exact_left = l_all
+        cold_count_frame = l_all
+    else:
+        flagged = l_all.join(F.broadcast(hot_cells), "_cell", "left")
+        hot_l = flagged.where(F.col("_hot")).drop("_hot")
+        cold_l = flagged.where(F.col("_hot").isNull()).drop("_hot")
+        cold_count_frame = cold_l
+
+        hp = probe_join(hot_l, leaders).where(rank_r < F.col(rank_col))
+        verdict = hp.groupBy(id_col).agg(
+            F.max(((F.col("dist_m") <= radius_m) & (id_r != F.col(id_col))).cast("int")).alias("_s")
+        )
+        phase1 = verdict.where(F.col("_s") == 1).select(id_col)
+        undecided = hot_l.join(verdict.where(F.col("_s") == 0).select(id_col), id_col, "left_semi")
+        exact_left = undecided.unionByName(cold_l)
+
+    # duplicates are harmless to the final left_anti join, so no
+    # union-level distinct; phase2 keeps one to collapse the (id x
+    # suppressor-count) fan-out before it ships
+    phase2 = probe_join(exact_left, r_exp).where(hit).select(id_col).distinct()
+    suppressed = phase2 if phase1 is None else phase1.unionByName(phase2)
+    return {
+        "leaders": leaders,
+        "phase1": phase1,
+        "undecided": undecided,
+        "cold": cold_count_frame,
+        "suppressed": suppressed,
+    }
+
+
 def dedup_labels(
     labels: DataFrame,
     radius_m: float,
@@ -328,26 +431,42 @@ def dedup_labels(
     res: int | None = None,
     probe_k: int = 3,
     materialize: bool = True,
+    prepass: bool = True,
+    hot_threshold: int = 200,
 ) -> DataFrame:
     """kNN label dedup: suppress any label that has a MORE important label
     (smaller ``rank_col``) within ``radius_m``. Deterministic because the
     global rank is a total order.
 
+    ``prepass`` (default) routes through the adaptive hot/cold split
+    (:func:`_dedup_frames`), which bounds the dense-cell blow-up: the
+    all-pairs path enumerates O(n^2) candidate pairs inside a hot cell,
+    the leader route O(n) + exact pairs for the (small) undecided
+    residue, while cold (sparse) cells keep the exact join's cost profile
+    plus one stats shuffle. ``prepass=False`` keeps the single-join exact
+    path everywhere (the oracle-shaped reference). Results are identical
+    (tested, and the osm_dedup_labels DuckDB oracle runs the default).
+
     ``materialize`` (default) localCheckpoints the slim (id, rank, lat,
-    lon) projection once: the candidate self-join and the suppression
-    anti-join otherwise re-derive ``labels`` three times, and a
-    nondeterministic upstream (e.g. an unranked frame) could disagree with
-    itself between the join sides. The slim frame is ~32 B/row — far
-    cheaper than re-running the producing pipeline."""
+    lon) projection once: the joins otherwise re-derive ``labels`` several
+    times, and a nondeterministic upstream (e.g. an unranked frame) could
+    disagree with itself between the join sides. The slim frame is
+    ~32 B/row — far cheaper than re-running the producing pipeline."""
     slim = labels.select(id_col, rank_col, "lat", "lon")
     if materialize:
         slim = slim.localCheckpoint(eager=True)
-    pairs = knn_candidates(slim, slim, radius_m, res=res, probe_k=probe_k)
-    suppressed = (
-        pairs.where(
-            (F.col(f"{rank_col}_r") < F.col(rank_col)) & (F.col(f"{id_col}_r") != F.col(id_col))
+
+    if prepass and res is None:
+        fr = _dedup_frames(slim, radius_m, rank_col, id_col, probe_k, hot_threshold)
+        suppressed = fr["suppressed"]
+    else:
+        pairs = knn_candidates(slim, slim, radius_m, res=res, probe_k=probe_k)
+        suppressed = (
+            pairs.where(
+                (F.col(f"{rank_col}_r") < F.col(rank_col))
+                & (F.col(f"{id_col}_r") != F.col(id_col))
+            )
+            .select(id_col)
+            .distinct()
         )
-        .select(id_col)
-        .distinct()
-    )
     return labels.join(suppressed, id_col, "left_anti")

@@ -7,8 +7,15 @@ stable across task scheduling). ``resume_or_compute`` skips any stage whose
 materialization is complete and verified, making re-runs idempotent: a
 killed job re-executes only unfinished stages.
 
-At cluster scale the same mechanism works per partition-range; local mode
-demonstrates the stage granularity.
+Granularity is per partition-range ("chunk"), not only per stage: a stage
+written with ``n_chunks > 1`` commits each chunk independently
+(``chunk-00000/`` subdirs, each with its own ``_SUCCESS`` + sidecar), so a
+job killed at 99% re-executes only the missing chunks instead of the whole
+stage. Chunk membership is a pure function of row content
+(``pmod(xxhash64(cols), n)``) — stable across runs, schedulers, and
+cluster sizes, which is what makes a partially-written stage resumable at
+all. At 10^12 rows, ``chunk_by`` should name the table's partition column
+so the per-chunk filter prunes the rescan.
 """
 
 from __future__ import annotations
@@ -75,12 +82,104 @@ def is_complete(spark: SparkSession, path: str) -> bool:
         return False
 
 
-def resume_or_compute(spark: SparkSession, path: str, stage: str, builder) -> DataFrame:
+def chunk_expr(n_chunks: int, cols: list[str]):
+    """Deterministic, content-based chunk id: stable across runs and task
+    scheduling (unlike ``spark_partition_id``), so a chunk written by a
+    killed job holds exactly the rows a resume would assign to it."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_chunks)).cast("int")
+
+
+def _chunk_path(path: str, i: int) -> str:
+    return os.path.join(path, f"chunk-{i:05d}")
+
+
+def read_chunked(spark: SparkSession, path: str, n_chunks: int) -> DataFrame:
+    return spark.read.parquet(*[_chunk_path(path, i) for i in range(n_chunks)])
+
+
+def materialize_chunked(
+    df: DataFrame,
+    path: str,
+    stage: str,
+    n_chunks: int,
+    chunk_by: list[str] | None = None,
+    _existing: dict[int, dict] | None = None,
+) -> DataFrame:
+    """Write a stage as ``n_chunks`` independently-committed partition
+    ranges. ``_existing`` (from :func:`resume_or_compute`) maps chunk index
+    -> verified sidecar; those chunks are NOT rewritten — their lineage
+    entries (incl. original ``written_at``) carry into the stage sidecar,
+    which is the auditable proof of partial reuse."""
+    existing = _existing or {}
+    missing = [i for i in range(n_chunks) if i not in existing]
+    src = df.withColumn("_chunk", chunk_expr(n_chunks, chunk_by or df.columns))
+    if len(missing) > 1:
+        # one materialization of the producing plan; each chunk write is
+        # then a cheap filter. A single missing chunk skips this: one
+        # filtered pass beats checkpointing the full frame.
+        src = src.localCheckpoint(eager=True)
+    chunk_metas: list[dict] = []
+    for i in range(n_chunks):
+        if i in existing:
+            chunk_metas.append({**existing[i], "resumed": True})
+            continue
+        cpath = _chunk_path(path, i)
+        materialize(src.where(F.col("_chunk") == i).drop("_chunk"), cpath, f"{stage}#{i}")
+        chunk_metas.append(read_lineage(cpath))
+    spark = df.sparkSession
+    meta = {
+        "stage": stage,
+        "path": path,
+        "written_at": time.time(),
+        "n_chunks": n_chunks,
+        "total_rows": sum(c["total_rows"] for c in chunk_metas),
+        "chunks": chunk_metas,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, LINEAGE_FILE), "w") as fh:
+        json.dump(meta, fh)
+    return read_chunked(spark, path, n_chunks)
+
+
+def resume_or_compute(
+    spark: SparkSession,
+    path: str,
+    stage: str,
+    builder,
+    n_chunks: int = 1,
+    chunk_by: list[str] | None = None,
+) -> DataFrame:
     """Idempotent stage execution: reuse a complete materialization, else
-    build + materialize. ``builder`` is a zero-arg callable -> DataFrame."""
-    if is_complete(spark, path):
-        return spark.read.parquet(path)
-    return materialize(builder(), path, stage)
+    build + materialize. ``builder`` is a zero-arg callable -> DataFrame.
+
+    With ``n_chunks > 1`` the reuse is per partition-range: every chunk
+    whose own sidecar verifies is kept as-is and only the missing chunks
+    are computed and written (the builder runs once, filtered per missing
+    chunk). All chunks verified -> the builder never runs."""
+    if n_chunks <= 1:
+        if is_complete(spark, path):
+            return spark.read.parquet(path)
+        return materialize(builder(), path, stage)
+    existing = {
+        i: read_lineage(_chunk_path(path, i))
+        for i in range(n_chunks)
+        if is_complete(spark, _chunk_path(path, i))
+    }
+    if len(existing) == n_chunks:
+        if not os.path.exists(os.path.join(path, LINEAGE_FILE)):
+            # all chunks landed but the kill hit before the stage sidecar
+            meta = {
+                "stage": stage,
+                "path": path,
+                "written_at": time.time(),
+                "n_chunks": n_chunks,
+                "total_rows": sum(c["total_rows"] for c in existing.values()),
+                "chunks": [{**existing[i], "resumed": True} for i in range(n_chunks)],
+            }
+            with open(os.path.join(path, LINEAGE_FILE), "w") as fh:
+                json.dump(meta, fh)
+        return read_chunked(spark, path, n_chunks)
+    return materialize_chunked(builder(), path, stage, n_chunks, chunk_by, _existing=existing)
 
 
 def read_lineage(path: str) -> dict:

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_level_counts_and_histograms(spark, synth_small):
@@ -116,6 +117,69 @@ def test_lineage_resume(spark, tmp_path):
     re2 = resume_or_compute(spark, path, "stage1", builder)
     assert re2.count() == 1000
     assert calls == [1]
+
+
+def test_lineage_partition_range_resume(spark, tmp_path):
+    """Kill a 2-chunk stage after chunk 1: the resume must recompute ONLY
+    chunk 2, proven by the surviving chunk's sidecar (content + written_at
+    unchanged, `resumed: true` in the stage sidecar)."""
+    from osmgraft.plans import lineage
+    from osmgraft.plans.lineage import (
+        materialize,
+        materialize_chunked,
+        read_lineage,
+        resume_or_compute,
+    )
+
+    path = str(tmp_path / "stage2")
+    df = spark.range(1000).withColumn("v", F.col("id") * 3)
+
+    # simulate the kill: materialize() dies on its SECOND chunk write
+    real_materialize, writes = materialize, []
+
+    def dying(frame, cpath, stage, mode="overwrite"):
+        if len(writes) == 1:
+            raise RuntimeError("killed mid-stage")
+        writes.append(cpath)
+        return real_materialize(frame, cpath, stage, mode)
+
+    lineage.materialize = dying
+    try:
+        with pytest.raises(RuntimeError):
+            materialize_chunked(df, path, "stage2", n_chunks=2, chunk_by=["id"])
+    finally:
+        lineage.materialize = real_materialize
+
+    assert len(writes) == 1  # exactly one chunk landed
+    done_chunk = writes[0]
+    chunk0_meta = read_lineage(done_chunk)
+    chunk0_mtime = os.path.getmtime(os.path.join(done_chunk, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "_lineage.json"))  # stage incomplete
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(1000).withColumn("v", F.col("id") * 3)
+
+    out = resume_or_compute(spark, path, "stage2", builder, n_chunks=2, chunk_by=["id"])
+    assert calls == [1]  # builder ran (one chunk was missing)...
+    # ...but the completed chunk was reused byte-for-byte, not rewritten
+    assert os.path.getmtime(os.path.join(done_chunk, "_SUCCESS")) == chunk0_mtime
+    assert read_lineage(done_chunk) == chunk0_meta
+    stage_meta = read_lineage(path)
+    assert stage_meta["total_rows"] == 1000
+    assert sorted(c.get("resumed", False) for c in stage_meta["chunks"]) == [False, True]
+    resumed = [c for c in stage_meta["chunks"] if c.get("resumed")][0]
+    assert resumed["partitions"] == chunk0_meta["partitions"]
+    # content is complete and exact
+    got = sorted((r["id"], r["v"]) for r in out.collect())
+    assert got == [(i, 3 * i) for i in range(1000)]
+
+    # second resume: everything verified -> builder never runs
+    out2 = resume_or_compute(spark, path, "stage2", builder, n_chunks=2, chunk_by=["id"])
+    assert calls == [1]
+    assert out2.count() == 1000
 
 
 def test_salt_id_col_deterministic(spark):

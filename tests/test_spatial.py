@@ -309,6 +309,60 @@ def test_dedup_labels_matches_bruteforce(spark):
     assert 0 < len(got) < n
 
 
+def test_dedup_prepass_equals_exact_path(spark):
+    """The leader pre-pass must reproduce the all-pairs path exactly,
+    including near the antimeridian and in the polar caps."""
+    from osmgraft.operators.knn import dedup_labels
+
+    rng = np.random.default_rng(17)
+    rows = []
+    i = 0
+    for cx, cy, sd, m in [(0.0, 179.99, 0.02, 120), (86.0, 10.0, 0.5, 60), (-40.0, 0.0, 0.01, 120)]:
+        for _ in range(m):
+            lo = cy + rng.normal(0, sd)
+            rows.append((i, float(cx + rng.normal(0, sd)), float((lo + 180) % 360 - 180), i))
+            i += 1
+    df = spark.createDataFrame(rows, "osm_id long, lat double, lon double, rank long")
+    a = sorted(r["osm_id"] for r in dedup_labels(df, 2000.0, prepass=True).collect())
+    b = sorted(r["osm_id"] for r in dedup_labels(df, 2000.0, prepass=False).collect())
+    assert a == b
+    assert 0 < len(a) < len(rows)
+
+
+def test_dedup_hot_cell_bounded(spark):
+    """Zipf hot cluster: >=10^4 labels inside one cell. The old all-pairs
+    path would enumerate ~10^8 candidate pairs; the leader pre-pass must
+    leave only a tiny undecided residue for the exact phase (the only
+    remaining quadratic term)."""
+    from osmgraft.operators.knn import _dedup_frames, dedup_labels
+
+    rng = np.random.default_rng(23)
+    n_hot, n_bg = 12_000, 1_000
+    # sigma ~100 m: the whole blob is far inside the 2 km radius
+    lats = np.concatenate([45.0 + rng.normal(0, 0.001, n_hot), rng.uniform(-60, 60, n_bg)])
+    lons = np.concatenate([7.0 + rng.normal(0, 0.001, n_hot), rng.uniform(-170, 170, n_bg)])
+    ranks = rng.permutation(n_hot + n_bg)
+    rows = [(i, float(lats[i]), float(lons[i]), int(ranks[i])) for i in range(n_hot + n_bg)]
+    df = spark.createDataFrame(rows, "osm_id long, lat double, lon double, rank long")
+
+    slim = df.select("osm_id", "rank", "lat", "lon").localCheckpoint(eager=True)
+    fr = _dedup_frames(slim, 2000.0, "rank", "osm_id", probe_k=3)
+    n_undecided = fr["undecided"].count()
+    n_cold = fr["cold"].count()
+    # exact-join work is (|undecided| + |cold|) x local density; the blob
+    # must be routed hot and almost entirely settled by its leaders (every
+    # blob point is within r of the blob's best-ranked label), leaving the
+    # exact phase only the sparse background + blob-tail residue
+    assert n_undecided < 200, f"undecided residue too large: {n_undecided}"
+    assert n_cold < n_bg + 2000, f"hot blob leaked into the cold route: {n_cold}"
+
+    out = dedup_labels(df, 2000.0).select("osm_id", "lat", "lon").collect()
+    hot_survivors = [
+        r for r in out if abs(r["lat"] - 45.0) < 0.01 and abs(r["lon"] - 7.0) < 0.01
+    ]
+    assert len(hot_survivors) == 1  # the blob collapses to its best label
+
+
 def test_knn_banded_matches_bruteforce_across_bands(spark):
     # Points straddling the latitude band edges (45.573, 60, 75.522) and the
     # polar cap threshold (84.261): the banded resolution choice must not
