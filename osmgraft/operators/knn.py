@@ -251,9 +251,17 @@ def knn_candidates(
     left_cols: tuple[str, str] = ("lat", "lon"),
     right_cols: tuple[str, str] = ("lat", "lon"),
     probe_k: int = 3,
+    skew_max_rows: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_m`` — cell-pruned equi-join +
     exact haversine filter. Right columns arrive suffixed with ``_r``.
+
+    ``skew_max_rows`` (banded path): split hot cells before the equi-join —
+    right rows in cells over the bound are salted (pure hash of their
+    coordinates), left probe rows replicate once per salt bucket, and the
+    join runs on (cell, salt). Identical pairs out (tested), but a dense
+    urban cell's reduce work spreads over ceil(n/bound) tasks instead of
+    pinning one.
 
     With ``res=None`` (default) the resolution is latitude-banded and the
     whole search — all bands, antimeridian replicas, and polar caps — is
@@ -293,7 +301,20 @@ def knn_candidates(
         .where(F.col("_cell_r") != -1)
     )
 
-    pairs = l_exp.join(r_exp, l_exp["_cand"] == r_exp["_cell_r"]).drop("_cand", "_cell_r")
+    if skew_max_rows:
+        from osmgraft.operators.skew import hot_cell_map, replicate_cells, salt_cells
+
+        hot = hot_cell_map(r_exp, "_cell_r", skew_max_rows)
+        r_exp = salt_cells(
+            r_exp, hot, "_cell_r", [f"{right_cols[0]}_r", f"{right_cols[1]}_r"]
+        )
+        l_exp = replicate_cells(l_exp, hot.withColumnRenamed("_cell_r", "_cand"), "_cand")
+        pairs = l_exp.join(
+            r_exp,
+            (l_exp["_cand"] == r_exp["_cell_r"]) & (l_exp["_cell_salt"] == r_exp["_cell_salt"]),
+        ).drop("_cand", "_cell_r", "_cell_salt")
+    else:
+        pairs = l_exp.join(r_exp, l_exp["_cand"] == r_exp["_cell_r"]).drop("_cand", "_cell_r")
     dist = haversine_m(
         F.col(left_cols[0]), F.col(left_cols[1]), F.col(f"{right_cols[0]}_r"), F.col(f"{right_cols[1]}_r")
     )

@@ -258,6 +258,7 @@ def pip_join(
     broadcast_threshold: int = 10_000,
     how: str = "inner",
     max_cover_cells: int = 128,
+    skew_max_rows: int | None = None,
 ) -> DataFrame:
     """points x polygons -> one row per (point, containing polygon).
 
@@ -266,6 +267,17 @@ def pip_join(
     is the FINEST covering resolution (ladder top — see module docstring)
     and ``max_cover_cells`` the per-polygon covering budget that picks
     each polygon's ladder level.
+
+    ``skew_max_rows`` (partitioned strategy): split hot cells before the
+    equi-join. A dense urban cell with 10^6 point emissions would
+    otherwise pin the whole cell onto one shuffle task; with a bound set,
+    a count pre-pass finds cells over the bound, point rows in them are
+    salted (pure row hash of lat/lon) and the polygon's covering rows
+    replicate once per salt bucket — same join output (tested), reduce
+    side bounded at ~``skew_max_rows`` rows per task. This is the
+    adaptive-cell-split rail applied at the join key (hex cells don't
+    nest across resolutions, so splitting by salt preserves the covering
+    contract where re-encoding finer could not).
     """
     lat, lon = point_cols
     polys = _poly_with_bbox(polygons)
@@ -299,7 +311,15 @@ def pip_join(
         pts = points.withColumn(
             "_cell", F.explode(_point_cells_udf(res)(F.col(lat), F.col(lon)))
         )
-        cand = pts.join(poly_cells, "_cell").where(
+        join_key = ["_cell"]
+        if skew_max_rows:
+            from osmgraft.operators.skew import hot_cell_map, replicate_cells, salt_cells
+
+            hot = hot_cell_map(pts, "_cell", skew_max_rows)
+            pts = salt_cells(pts, hot, "_cell", [lat, lon])
+            poly_cells = replicate_cells(poly_cells, hot, "_cell")
+            join_key = ["_cell", "_cell_salt"]
+        cand = pts.join(poly_cells, join_key).where(
             (F.col(lat) >= F.col("_minlat"))
             & (F.col(lat) <= F.col("_maxlat"))
             & (F.col(lon) >= F.col("_minlon"))

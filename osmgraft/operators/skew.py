@@ -115,6 +115,54 @@ def adaptive_cell_split(
     return out
 
 
+def hot_cell_map(
+    df: DataFrame, cell_col: str, max_rows: int, n_cap: int = 64
+) -> DataFrame:
+    """``(cell, _n_salts)`` for every cell whose row count exceeds
+    ``max_rows`` — the broadcastable split plan for a cell-keyed skew join.
+    ``_n_salts = ceil(count / max_rows)`` (capped), so each split bucket
+    holds ~``max_rows`` rows. Small by construction (<= total/max_rows
+    entries), like :func:`adaptive_cell_split`'s hot list."""
+    counts = df.groupBy(cell_col).agg(F.count("*").alias("_n"))
+    return counts.where(F.col("_n") > max_rows).select(
+        F.col(cell_col),
+        F.least(F.ceil(F.col("_n") / max_rows), F.lit(n_cap)).cast("int").alias("_n_salts"),
+    )
+
+
+def salt_cells(
+    df: DataFrame, hot: DataFrame, cell_col: str, hash_cols: list[str]
+) -> DataFrame:
+    """BIG side of a cell equi-join: rows in hot cells get
+    ``_cell_salt = pmod(xxhash64(hash_cols), n_salts)`` (a pure row
+    function — retry-deterministic, see :func:`salt`); cold rows get 0.
+    The hot map joins broadcast, so the big side is never shuffled here."""
+    j = df.join(F.broadcast(hot), cell_col, "left")
+    salt_expr = (
+        F.when(
+            F.col("_n_salts").isNotNull(),
+            F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.col("_n_salts")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return j.withColumn("_cell_salt", salt_expr).drop("_n_salts")
+
+
+def replicate_cells(df: DataFrame, hot: DataFrame, cell_col: str) -> DataFrame:
+    """PROBE side of a cell equi-join: rows pointing at a hot cell
+    replicate once per salt bucket (cold rows once, salt 0), so joining on
+    ``(cell, _cell_salt)`` reproduces the plain cell join exactly while the
+    hot cell's reduce work spreads over ``n_salts`` tasks."""
+    j = df.join(F.broadcast(hot), cell_col, "left")
+    salts = F.when(
+        F.col("_n_salts").isNotNull(), F.sequence(F.lit(0), F.col("_n_salts") - 1)
+    ).otherwise(F.array(F.lit(0)))
+    # both branches are array<int> (sequence of int bounds / array(lit 0)),
+    # so the exploded salt is already int — no cast around the generator
+    return j.withColumn("_cell_salt", F.explode(salts)).drop("_n_salts")
+
+
 def repartition_by_cell(df: DataFrame, cell_col: str = "cell", partitions: int | None = None) -> DataFrame:
     """Co-locate rows by (mixed-res) cell for downstream grouped spatial
     kernels; after adaptive splitting no partition is dominated by one

@@ -363,6 +363,90 @@ def test_dedup_hot_cell_bounded(spark):
     assert len(hot_survivors) == 1  # the blob collapses to its best label
 
 
+def test_skew_split_helpers_bound_hot_cells(spark):
+    """hot_cell_map/salt_cells/replicate_cells: the hot cell's rows spread
+    over ~ceil(n/bound) salt buckets, each bounded; cold cells untouched;
+    joining on (cell, salt) reproduces the plain cell join exactly."""
+    from osmgraft.operators.skew import hot_cell_map, replicate_cells, salt_cells
+
+    big = spark.range(10_100).select(
+        F.col("id"),
+        F.when(F.col("id") < 10_000, F.lit(1)).otherwise(F.lit(2)).alias("cell"),
+    )
+    hot = hot_cell_map(big, "cell", max_rows=1000)
+    assert {(r["cell"], r["_n_salts"]) for r in hot.collect()} == {(1, 10)}
+
+    salted = salt_cells(big, hot, "cell", ["id"]).cache()
+    per_bucket = salted.groupBy("cell", "_cell_salt").count().collect()
+    hot_counts = [r["count"] for r in per_bucket if r["cell"] == 1]
+    assert len(hot_counts) == 10  # all 10 buckets in use
+    assert max(hot_counts) < 2500  # ~1000 each, hash-variance slack
+    assert [r["_cell_salt"] for r in per_bucket if r["cell"] == 2] == [0]
+
+    probe = spark.createDataFrame([(100, 1), (101, 1), (102, 2), (103, 3)], "pid long, cell int")
+    repl = replicate_cells(probe, hot, "cell").cache()
+    assert repl.count() == 2 * 10 + 1 + 1  # hot x n_salts, cold once
+    # equivalence: (cell, salt) join == plain cell join
+    plain = {(r["pid"], r["id"]) for r in probe.join(big, "cell").select("pid", "id").collect()}
+    split = {
+        (r["pid"], r["id"])
+        for r in repl.join(salted, ["cell", "_cell_salt"]).select("pid", "id").collect()
+    }
+    assert split == plain
+
+
+def test_skew_split_spatial_joins_identical_output(spark):
+    """Zipf hot cluster through pip_join(partitioned) and knn_candidates:
+    with skew_max_rows set the join outputs are IDENTICAL while the hot
+    cell's join key is split over multiple salt buckets."""
+    from osmgraft.operators.knn import knn_candidates
+    from osmgraft.operators.pip import pip_join
+
+    rng = np.random.default_rng(31)
+    n_hot, n_bg = 1500, 300
+    lats = np.concatenate([45.0 + rng.normal(0, 0.004, n_hot), rng.uniform(-60, 60, n_bg)])
+    lons = np.concatenate([7.0 + rng.normal(0, 0.004, n_hot), rng.uniform(-170, 170, n_bg)])
+    pts = spark.createDataFrame(
+        [(i, float(lats[i]), float(lons[i])) for i in range(n_hot + n_bg)],
+        "pid long, lat double, lon double",
+    ).localCheckpoint(eager=True)
+
+    polys = spark.createDataFrame(
+        [
+            (1, [44.8, 44.8, 45.2, 45.2], [6.8, 7.2, 7.2, 6.8]),  # covers the cluster
+            (2, [-10.0, -10.0, 10.0, 10.0], [-20.0, 20.0, 20.0, -20.0]),
+            (3, [30.0, 30.0, 50.0, 50.0], [-150.0, -100.0, -100.0, -150.0]),
+        ],
+        "poly_id long, ring_lats array<double>, ring_lons array<double>",
+    ).withColumn("name", F.concat(F.lit("P"), F.col("poly_id")))
+
+    def pip_pairs(**kw):
+        out = pip_join(pts, polys, strategy="partitioned", res=6, **kw)
+        return sorted((r["pid"], r["poly_id"]) for r in out.collect())
+
+    base = pip_pairs()
+    split = pip_pairs(skew_max_rows=500)
+    assert split == base
+    assert len({p for p, _ in base if p < n_hot}) > 0  # cluster actually joined
+
+    # The dense cluster emits O(n_hot^2) pairs, so verify equivalence
+    # Spark-side (count + order-insensitive pair-hash sum) instead of
+    # collecting millions of rows to the driver.
+    def knn_digest(**kw):
+        out = knn_candidates(
+            pts.select("pid", "lat", "lon"), pts.select("pid", "lat", "lon"), 300.0, **kw
+        )
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(F.col("pid"), F.col("pid_r")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    kbase = knn_digest()
+    ksplit = knn_digest(skew_max_rows=500)
+    assert ksplit == kbase and kbase[0] > n_hot  # dense cluster pairs survive
+
+
 def test_knn_banded_matches_bruteforce_across_bands(spark):
     # Points straddling the latitude band edges (45.573, 60, 75.522) and the
     # polar cap threshold (84.261): the banded resolution choice must not
