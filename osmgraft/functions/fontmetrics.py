@@ -205,16 +205,20 @@ def render_font_atlas_png(
     name: str,
     out_dir: str,
     metrics: FontMetrics = DEFAULT_METRICS,
+    glyph_raster=None,
 ) -> str:
     """K3 raster side of the atlas export (font.cpp:195-293): the reference
-    paints each glyph into a ``columns x rows`` grid cell via cairo; the
-    sandbox has no font rasterizer, so each cell gets a deterministic
-    coverage box — ink over ``advance(c)`` columns of the cell between the
-    pinned top/bottom bearings — standing in for the glyph bitmap. Grid
-    geometry (cell size, row/column layout, scan order over the sorted
-    alphabet) matches the ``.info`` export exactly, so the PNG and the
-    JSON describe the same atlas; the engine itself consumes only the
-    metrics (the PNG is a sink artifact, as in the reference)."""
+    paints each glyph into a ``columns x rows`` grid cell via cairo. With
+    ``glyph_raster`` — ``(char, cell_w, cell_h) -> gray8 bytes | None`` —
+    each cell gets that real coverage bitmap (see
+    :func:`osmgraft.functions.ttf.ttf_glyph_raster`, which scanline-fills
+    actual TTF outlines, making the PNG glyph-faithful). Without one (or
+    where it returns ``None``) the cell falls back to a deterministic
+    coverage box — ink over ``advance(c)`` columns between the pinned
+    bearings. Grid geometry (cell size, row/column layout, scan order over
+    the sorted alphabet) matches the ``.info`` export exactly, so the PNG
+    and the JSON describe the same atlas; the engine itself consumes only
+    the metrics (the PNG is a sink artifact, as in the reference)."""
     import os
 
     chars = sorted(set(alphabet))
@@ -226,11 +230,22 @@ def render_font_atlas_png(
     width, height = columns * max_adv, rows * cell_h
     px = bytearray(width * height)  # 0 = background
     ink_y0, ink_y1 = 2, _GLYPH_V["top_height"]  # between bearings
-    for i, adv in enumerate(advances):
+    for i, (c, adv) in enumerate(zip(chars, advances)):
         cx, cy = (i % columns) * max_adv, (i // columns) * cell_h
-        for y in range(cy + ink_y0, cy + ink_y1):
-            row0 = y * width + cx
-            px[row0 : row0 + adv] = b"\xff" * adv
+        cell = glyph_raster(c, max_adv, cell_h) if glyph_raster else None
+        if cell is not None:
+            if len(cell) != max_adv * cell_h:
+                raise ValueError(
+                    f"glyph_raster({c!r}) returned {len(cell)} bytes, "
+                    f"expected {max_adv * cell_h}"
+                )
+            for y in range(cell_h):
+                row0 = (cy + y) * width + cx
+                px[row0 : row0 + max_adv] = cell[y * max_adv : (y + 1) * max_adv]
+        else:
+            for y in range(cy + ink_y0, cy + ink_y1):
+                row0 = y * width + cx
+                px[row0 : row0 + adv] = b"\xff" * adv
     path = os.path.join(out_dir, f"{name}.png")
     write_png_gray8(path, width, height, bytes(px))
     return path
