@@ -211,6 +211,47 @@ def main() -> None:
     ]
     sections.append(("L7 legacy split — one narrow codegen-free JVM projection", p11, notes11))
 
+    # 12. lang_id — one regex-split pass per row (materialized in a lower
+    # projection; Catalyst does not dedupe HOF subtrees across aliases)
+    from osmgraft.operators.textstats import lang_id
+
+    q12 = lang_id(d)
+    p12 = plan_of(q12)
+    n_splits = len(re.findall(r"split\(trim\(lower", p12))
+    notes12 = [
+        f"regex split appears ONCE in the plan (shared lower projection): {n_splits == 1} ({n_splits})",
+        f"no Python operators: {'Python' not in p12}",
+        f"no shuffle: {'Exchange' not in p12}",
+    ]
+    sections.append(("lang_id — single split pass, shared across counters", p12, notes12))
+
+    # 13. partitioned PIP — adaptive ring covering: bounded cells/polygon,
+    # one equi-join, no cartesian fallback
+    from osmgraft.operators.pip import pip_join
+
+    polys = spark.createDataFrame(
+        [
+            (1, [0.0, 45.0, 45.0, 0.0, 0.0], [0.0, 0.0, 45.0, 45.0, 0.0]),
+            (2, [-10.0, -9.0, -9.0, -10.0, -10.0], [5.0, 5.0, 6.0, 6.0, 5.0]),
+        ],
+        "poly_id long, ring_lats array<double>, ring_lons array<double>",
+    )
+    q13 = pip_join(pts, polys, broadcast_threshold=0)  # force partitioned
+    p13 = plan_of(q13)
+    n_joins13 = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p13)
+    )
+    notes13 = [
+        f"no cartesian/BNLJ even with a continent-size polygon: "
+        f"{'Cartesian' not in p13 and 'BroadcastNestedLoopJoin' not in p13}",
+        f"cell equi-join(s) in plan: {n_joins13}",
+        f"covering + point cells explode (bounded per polygon by "
+        f"max_cover_cells, see test_spatial): {'explode(' in p13}",
+        f"even-odd kernel is Arrow-batched (no row Python): "
+        f"{'BatchEvalPython' not in p13}",
+    ]
+    sections.append(("partitioned PIP — adaptive ring covering equi-join", p13, notes13))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
