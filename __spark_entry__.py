@@ -141,6 +141,74 @@ def _stage_wav_oracle(n: int = 150) -> str:
     return _WAV_ORACLE_PATH
 
 
+_PNG_ORACLE_PATH = "/tmp/osmgraft_png_oracle.parquet"
+
+
+def _stage_png_oracle(n: int = 120) -> str:
+    """Deterministic VALID gray8 PNG payloads (mixed None/Up scanline
+    filters, zlib-deflated) staged without Spark. ``w``/``h``/``px_sum``
+    are the oracle's side-channel: DuckDB replays the staged geometry +
+    pixel sum while the Spark side must recover all three from the BYTES
+    (inflate + unfilter included — px_sum over reconstructed samples)."""
+    import os
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(_PNG_ORACLE_PATH):
+        return _PNG_ORACLE_PATH
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ids, ws, hs, sums, payloads = [], [], [], [], []
+    for i in range(n):
+        w = 8 + (i * 7) % 40
+        h = 5 + (i * 11) % 30
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((x * 3 + y * 5 + i) % 256).astype(np.uint8)
+        raw = b""
+        for yy in range(h):  # alternate filter None / Up per row
+            if yy % 2 == 0 or yy == 0:
+                raw += b"\x00" + img[yy].tobytes()
+            else:
+                raw += b"\x02" + ((img[yy].astype(np.int32) - img[yy - 1]) & 0xFF).astype(
+                    np.uint8
+                ).tobytes()
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        ids.append(i)
+        ws.append(w)
+        hs.append(h)
+        sums.append(int(img.astype(np.int64).sum()))
+        payloads.append(png)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        _PNG_ORACLE_PATH,
+    )
+    return _PNG_ORACLE_PATH
+
+
 def _s2_oracle_sql(level: int = 12) -> str:
     """Bit-exact DuckDB replica of osmgraft.functions.cells.s2_cell_id over
     the shared pts derivation: face selection + quadratic (u,v)->(s,t) +
@@ -816,6 +884,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_wav_oracle()).select("media_id", "payload")
         return wav_decode_meta(media)
 
+    def q_png_decode(spark, sf):
+        # the real stdlib PNG codec: geometry + pixel sum recovered from
+        # the payload BYTES (zlib inflate + scanline unfilter; the staged
+        # w/h/px_sum columns are the oracle's, not ours)
+        from osmgraft.operators.multimodal import png_decode_meta
+
+        media = spark.read.parquet(_stage_png_oracle()).select("media_id", "payload")
+        return png_decode_meta(media)
+
     def q_hex_cells(spark, sf):
         from osmgraft.functions.cells import hex_cell_udf
 
@@ -898,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "wav_decode": q_wav_decode,
+        "png_decode": q_png_decode,
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
@@ -1179,6 +1257,12 @@ def oracle_sql() -> dict[str, str]:
             "(octet_length(payload) - 44) // 2 as n_samples, "
             "(((octet_length(payload) - 44) // 2) * 1000) // rate as duration_ms "
             f"from read_parquet('{_stage_wav_oracle()}')"
+        ),
+        "png_decode": (
+            # staged side-channel geometry/pixel-sum; the Spark side must
+            # reproduce them from the PNG bytes (inflate + unfilter)
+            f"select media_id, w as width, h as height, px_sum "
+            f"from read_parquet('{_stage_png_oracle()}')"
         ),
         "dedup_labels_pts": (
             f"with p as ({_PTS_SQL}) "

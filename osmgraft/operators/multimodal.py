@@ -134,14 +134,154 @@ def wav_features(samples: np.ndarray, rate: int, n_spec: int = 60) -> np.ndarray
     return np.concatenate([head, spec]).astype(np.float32)
 
 
+_PNM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap", "image/pnm")
+_PNG_MIMES = ("image/png",)
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Stdlib-only binary PNM decoder: P5 (gray) -> HxW uint8, P6 (RGB) ->
+    HxWx3 uint8. Header is whitespace-separated magic/width/height/maxval
+    with ``#`` comments; maxval must be <= 255 (1 byte/sample)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6) payload")
+    # tokenize the header: 4 fields, comments run to end-of-line, and the
+    # single whitespace byte after maxval terminates the header
+    tokens: list[bytes] = []
+    pos = 0
+    while len(tokens) < 4:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        b = payload[pos : pos + 1]
+        if b == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif b.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if w < 1 or h < 1 or not (0 < maxval <= 255):
+        raise ValueError(f"bad PNM geometry {w}x{h} maxval={maxval}")
+    channels = 3 if magic == b"P6" else 1
+    data = payload[pos + 1 : pos + 1 + w * h * channels]
+    if len(data) < w * h * channels:
+        raise ValueError("truncated PNM pixel data")
+    img = np.frombuffer(data, dtype=np.uint8)
+    return img.reshape(h, w, 3) if channels == 3 else img.reshape(h, w)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Invert PNG scanline filtering (types 0-4 per the PNG spec). Rows
+    with filter None/Up reconstruct as one vectorized numpy op; Sub/
+    Average/Paeth carry a left-neighbor dependency and walk the row (small
+    thumbnails per Arrow batch; clarity over throughput)."""
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(height, width, channels) if channels > 1 else out.reshape(height, width)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decoder (struct + zlib + numpy): 8-bit depth,
+    grayscale (color 0) -> HxW, RGB (color 2) -> HxWx3, RGBA (color 6) ->
+    HxWx4; all five scanline filters; non-interlaced only. Palette/16-bit/
+    Adam7 raise — this is the training-pipeline thumbnail path, not a
+    general renderer (those payloads route to an injected Pillow codec)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    width = height = 0
+    color = depth = interlace = None
+    idat = b""
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if depth is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={color} interlace={interlace} "
+            "(8-bit gray/RGB/RGBA, non-interlaced only)"
+        )
+    if width < 1 or height < 1:
+        raise ValueError(f"bad PNG geometry {width}x{height}")
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    return _png_unfilter(zlib.decompress(idat), width, height, channels)
+
+
+def image_features(img: np.ndarray, n_hist: int = 59) -> np.ndarray:
+    """Fixed-length image feature vector: ``[width, height, channels,
+    mean, std]`` (intensities in [0,1]) + ``n_hist`` normalized grayscale
+    histogram bins. Deterministic, pure numpy — the image counterpart of
+    :func:`wav_features`."""
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.astype(np.float64) / 255.0
+    gray = flat if img.ndim == 2 else flat[..., : min(c, 3)].mean(axis=2)
+    hist, _ = np.histogram(gray, bins=n_hist, range=(0.0, 1.0))
+    head = np.array([w, h, c, flat.mean(), flat.std()], dtype=np.float64)
+    return np.concatenate([head, hist / gray.size]).astype(np.float32)
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
     """Default codec for the ``extract_features`` seam.
 
-    ``audio/wav`` is REAL (stdlib RIFF parse -> :func:`wav_features`);
-    other mimes raise so nothing silently trains on fake pixels — real
+    REAL stdlib decoders: ``audio/wav`` (RIFF parse ->
+    :func:`wav_features`), ``image/png`` (8-bit gray/RGB/RGBA, all five
+    filters) and binary PNM P5/P6 -> :func:`image_features`. Other mimes
+    (JPEG, video) raise so nothing silently trains on fake pixels — real
     deployments plug Pillow/ffmpeg in via the ``codec=`` parameter."""
     if mime in _WAV_MIMES:
         return wav_features(*decode_wav(payload))
+    if mime in _PNG_MIMES:
+        return image_features(decode_png(payload))
+    if mime in _PNM_MIMES:
+        return image_features(decode_pnm(payload))
     raise NotImplementedError(
         f"media codec for {mime!r} not available in this environment; "
         "wire Pillow/ffmpeg here on a real cluster"
@@ -234,6 +374,39 @@ def wav_decode_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_WAV_META_SCHEMA)
+
+
+_PNG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+
+def png_decode_meta(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads at scale: (media_id, width, height, px_sum) all
+    derived from the BYTES by :func:`decode_png` — zlib inflate + scanline
+    unfiltering included, so ``px_sum`` (sum over reconstructed samples)
+    proves the full pixel path, not just an IHDR header read. The DuckDB
+    oracle replays staged geometry/pixel-sum side-channel columns.
+    Arrow-batched ``mapInPandas``, image-decode counterpart of
+    :func:`wav_decode_meta`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, ws, hs, sums = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                mid.append(int(media_id))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": mid, "width": ws, "height": hs, "px_sum": sums})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=_PNG_META_SCHEMA)
 
 
 _FRAME_SCHEMA = StructType(

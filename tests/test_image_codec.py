@@ -1,0 +1,192 @@
+"""Stdlib image codecs behind the multimodal seam (no Spark needed).
+
+decode_png: 8-bit gray/RGB/RGBA, all five scanline filters (the test
+forward-filters a known image per type and asserts exact inversion).
+decode_pnm: binary P5/P6 with header comments. image_features: analytic
+pins. These make `image/png` + PNM real mimes for decode_media alongside
+audio/wav; JPEG/video still raise (honest seam)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from osmgraft.operators.multimodal import (
+    decode_media,
+    decode_png,
+    decode_pnm,
+    image_features,
+)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(img: np.ndarray, filter_type: int) -> bytes:
+    """Apply one PNG filter to every scanline (encoder side, spec 9.2)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int32)
+    out = b""
+    for y in range(h):
+        line = rows[y]
+        prior = rows[y - 1] if y else np.zeros(w * c, np.int32)
+        a = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+        b = prior
+        cc = np.concatenate([np.zeros(c, np.int32), prior[:-c]])
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - a
+        elif filter_type == 2:
+            filt = line - b
+        elif filter_type == 3:
+            filt = line - ((a + b) >> 1)
+        else:  # Paeth
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+            filt = line - pred
+        out += bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes()
+    return out
+
+
+def _encode_png(img: np.ndarray, filter_type: int) -> bytes:
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_forward_filter(img, filter_type)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _test_img(h: int, w: int, c: int, seed: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_all_filters_roundtrip(filter_type, channels):
+    img = _test_img(11, 7, channels)
+    got = decode_png(_encode_png(img, filter_type))
+    assert got.shape == img.shape
+    assert np.array_equal(got, img), f"filter {filter_type} c={channels}"
+
+
+def test_png_gradient_smooth_image_all_filters():
+    # smooth gradients are the adversarial case for Sub/Average/Paeth
+    # prediction (small residuals — any off-by-one in the predictor shows)
+    y, x = np.mgrid[0:16, 0:23]
+    img = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    for f in range(5):
+        assert np.array_equal(decode_png(_encode_png(img, f)), img)
+
+
+def test_png_matches_own_atlas_writer(tmp_path):
+    # the fontmetrics PNG writer (filter 0, gray8) is decodable by the
+    # general decoder — two independent stdlib implementations agree
+    from osmgraft.functions.fontmetrics import write_png_gray8
+
+    img = _test_img(9, 13, 1)
+    p = str(tmp_path / "x.png")
+    write_png_gray8(p, 13, 9, img.tobytes())
+    with open(p, "rb") as fh:
+        assert np.array_equal(decode_png(fh.read()), img)
+
+
+def test_png_rejects_unsupported_shapes():
+    img = _test_img(4, 4, 1)
+    ok = _encode_png(img, 0)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    # 16-bit depth
+    bad_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", bad_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_forward_filter(img, 0)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # interlaced
+    il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    il = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", il_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_forward_filter(img, 0)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(il)
+    # invalid filter type byte
+    raw = b"\x05" + img[0].tobytes()
+    bf = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bf)
+    assert decode_png(ok).shape == (4, 4)
+
+
+def test_pnm_p5_p6_with_comments():
+    img = _test_img(6, 5, 1)
+    p5 = b"P5 # gray\n# another comment\n 5 6\n255\n" + img.tobytes()
+    assert np.array_equal(decode_pnm(p5), img)
+    rgb = _test_img(3, 4, 3)
+    p6 = b"P6\n4 3\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_pnm(p6), rgb)
+    with pytest.raises(ValueError):
+        decode_pnm(b"P3\n1 1\n255\n0")  # ascii PNM unsupported
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n5 6\n255\n" + img.tobytes()[:-3])  # truncated
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n5 6\n65535\n" + img.tobytes())  # 2-byte maxval
+
+
+def test_image_features_analytic():
+    img = np.full((10, 20), 128, dtype=np.uint8)
+    v = image_features(img)
+    assert v.shape == (64,)
+    w, h, c, mean, std = v[:5]
+    assert (w, h, c) == (20.0, 10.0, 1.0)
+    assert abs(mean - 128 / 255) < 1e-6 and std == 0.0
+    hist = v[5:]
+    assert abs(hist.sum() - 1.0) < 1e-6
+    assert np.count_nonzero(hist) == 1  # constant image -> single bin
+    # RGB mean over channels
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[..., 0] = 255  # pure red: gray = 1/3
+    v2 = image_features(rgb)
+    assert v2[2] == 3.0
+    assert abs(v2[3] - (1 / 3)) < 1e-6
+
+
+def test_decode_media_image_mimes_real():
+    img = _test_img(8, 8, 3)
+    v = decode_media(_encode_png(img, 4), "image/png")
+    assert v.shape == (64,) and v[0] == 8.0
+    v2 = decode_media(b"P6\n8 8\n255\n" + img.tobytes(), "image/x-portable-pixmap")
+    # same pixels through two container formats -> identical features
+    assert np.array_equal(v, v2)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
