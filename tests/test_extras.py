@@ -312,9 +312,14 @@ def test_multimodal_plumbing(spark):
     for r in frames[:10]:
         assert r["frame_ms"] == r["frame_idx"] * 1000
 
-    with pytest.raises(NotImplementedError):
+    # image/png is a REAL codec now: garbage bytes are a decode error,
+    # not a missing-codec error; video stays unimplemented
+    with pytest.raises(ValueError):
         decode_media(b"xx", "image/png")
-    # codec-routed path raises on execution
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "video/mp4")
+    # codec-routed path raises on execution (synth payloads are random
+    # bytes — every real codec rejects them)
     with pytest.raises(Exception):
         extract_features(media, dim=8, use_codec=True).collect()
 
@@ -578,10 +583,11 @@ def test_multimodal_codec_seam(spark):
 
     with pytest.raises(Exception) as exc:
         extract_features(media, dim=4, use_codec=True).collect()
-    # image/video mimes raise NotImplementedError; synth audio payloads are
-    # random bytes, which the real WAV codec rejects as non-RIFF
+    # video mimes raise NotImplementedError; synth audio/image payloads
+    # are random bytes, which the real WAV/PNG codecs reject at parse
     assert any(
-        s in str(exc.value) for s in ("NotImplementedError", "media codec", "RIFF")
+        s in str(exc.value)
+        for s in ("NotImplementedError", "media codec", "RIFF", "PNG", "PNM")
     )
 
     def stub_codec(payload: bytes, mime: str) -> np.ndarray:
