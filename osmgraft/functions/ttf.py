@@ -169,6 +169,13 @@ def _parse_simple_glyph(data: bytes, off: int, n_contours: int) -> list[Contour]
         if flag & 0x08:  # REPEAT_FLAG
             rep = data[pos]
             pos += 1
+            # a malformed font can claim more repeats than points remain;
+            # unclamped, the oversized flags list would misalign every
+            # subsequent coordinate read instead of failing cleanly
+            if rep > n_pts - len(flags):
+                raise ValueError(
+                    f"glyph flag REPEAT overruns point count ({len(flags)}+{rep} > {n_pts})"
+                )
             flags.extend([flag] * rep)
     xs: list[int] = []
     x = 0

@@ -9,7 +9,8 @@ Build the dependency zip and submit:
         osmgraft/job.py \
         --docs s3://bucket/documents --blobs s3://bucket/blobs \
         --out s3://bucket/labels --stage-dir s3://bucket/_stages \
-        --tile-zoom 12 [--dedup-radius-m 2000] [--resume]
+        --tile-zoom 12 [--dedup-radius-m 2000] [--resume] \
+        [--resume-chunks 64 --chunk-by osm_id]
 
 Stages (each materialized via plans/lineage.py when --stage-dir is given,
 so a killed job resumes at the first incomplete stage):
@@ -35,6 +36,20 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--config", default=None, help="labeling config JSON (default built-in)")
     ap.add_argument("--stage-dir", default=None, help="stage materialization dir (enables resume)")
     ap.add_argument("--resume", action="store_true", help="skip complete stages in --stage-dir")
+    ap.add_argument(
+        "--resume-chunks",
+        type=int,
+        default=1,
+        help="commit each stage as N independently-resumable partition-range "
+        "chunks (pmod(xxhash64(chunk-by), N)); a killed job re-executes only "
+        "the missing chunks instead of the whole stage",
+    )
+    ap.add_argument(
+        "--chunk-by",
+        default="osm_id",
+        help="comma-separated columns driving chunk membership (default "
+        "osm_id — a stable natural id keeps chunking content-deterministic)",
+    )
     ap.add_argument("--tile-zoom", type=int, default=12)
     ap.add_argument("--dedup-radius-m", type=float, default=0.0, help="0 = no kNN dedup")
     ap.add_argument("--text-format", action="store_true", help="emit K1 text rows instead of parquet")
@@ -47,6 +62,10 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import SparkSession
 
+    # only stop a session this entrypoint itself created: under spark-submit
+    # that's the job's own session; embedded (tests, notebooks) the caller
+    # keeps ownership of theirs
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("osmgraft-labels").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -60,11 +79,21 @@ def main(argv: list[str] | None = None) -> None:
 
     def staged(name: str, builder):
         if args.stage_dir:
-            from osmgraft.plans.lineage import materialize, resume_or_compute
+            from osmgraft.plans.lineage import (
+                materialize,
+                materialize_chunked,
+                resume_or_compute,
+            )
 
             path = f"{args.stage_dir}/{name}"
+            n_chunks = max(args.resume_chunks, 1)
+            chunk_by = [c.strip() for c in args.chunk_by.split(",") if c.strip()]
             if args.resume:
-                return resume_or_compute(spark, path, name, builder)
+                return resume_or_compute(
+                    spark, path, name, builder, n_chunks=n_chunks, chunk_by=chunk_by
+                )
+            if n_chunks > 1:
+                return materialize_chunked(builder(), path, name, n_chunks, chunk_by)
             return materialize(builder(), path, name)
         return builder()
 
@@ -86,7 +115,8 @@ def main(argv: list[str] | None = None) -> None:
 
     n = spark.read.parquet(args.out).count() if not args.text_format else None
     print(json.dumps({"status": "ok", "out": args.out, "rows": n}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

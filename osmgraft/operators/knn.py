@@ -261,7 +261,9 @@ def knn_candidates(
     coordinates), left probe rows replicate once per salt bucket, and the
     join runs on (cell, salt). Identical pairs out (tested), but a dense
     urban cell's reduce work spreads over ceil(n/bound) tasks instead of
-    pinning one.
+    pinning one. Best-effort past ``hot_cell_map``'s 64-salt replication
+    cap: a cell beyond ``64 * skew_max_rows`` rows splits 64 ways
+    proportionally (see :func:`osmgraft.operators.skew.hot_cell_map`).
 
     With ``res=None`` (default) the resolution is latitude-banded and the
     whole search — all bands, antimeridian replicas, and polar caps — is
@@ -348,6 +350,7 @@ def _dedup_frames(
     id_col: str,
     probe_k: int,
     hot_threshold: int = 200,
+    routing_gate: float = 2.0,
 ) -> dict[str, DataFrame]:
     """Adaptive suppression plan for :func:`dedup_labels` — intermediate
     frames exposed for the candidate-bound test.
@@ -386,10 +389,11 @@ def _dedup_frames(
         F.min(F.struct(rank_r, id_r, F.col("lat_r"), F.col("lon_r"))).alias("_m"),
         F.count("*").alias("_n"),
     )
-    # three consumers (leaders, hot flag, cold flag) would each re-run the
-    # emission + stats shuffle; materialize the small per-cell frame once
-    cell_stats = cell_stats.localCheckpoint(eager=True)
-    leaders = cell_stats.select("_cell_r", "_m.*")
+    # lazy checkpoint: the stats shuffle runs exactly once (on the skew
+    # probe below) and its small per-cell output is cached for the three
+    # routing consumers (leaders, hot flag, cold flag) IF routing engages;
+    # when it doesn't, the only cost paid was that single linear pass
+    cell_stats = cell_stats.localCheckpoint(eager=False)
 
     l_cell = _left_cell_udf(radius_m, probe_k)(F.col("lat"), F.col("lon"))
     l_all = slim.withColumn("_cell", l_cell)
@@ -403,20 +407,27 @@ def _dedup_frames(
 
     hit = (F.col("dist_m") <= radius_m) & (rank_r < F.col(rank_col)) & (id_r != F.col(id_col))
 
-    # the hot-cell list is small BY CONSTRUCTION (<= total/hot_threshold
-    # entries), so flagging is a broadcast left join — no shuffle of the
-    # label side; the driver-side emptiness probe on the materialized
-    # stats frame is ~free and lets sparse inputs skip the hot branch
-    # (their plan = exact join + the one stats shuffle)
-    hot_cells = cell_stats.where(F.col("_n") > hot_threshold).select(
-        F.col("_cell_r").alias("_cell"), F.lit(True).alias("_hot")
-    )
-    if hot_cells.isEmpty():
+    # pay-as-you-go routing: ONE driver action probes the densest cell; if
+    # no cell exceeds routing_gate x hot_threshold, the leader machinery
+    # (flag join, leader probe, verdict groupBy, semi-join) cannot beat the
+    # plain exact join it exists to bound, so everyone routes exact and the
+    # prepass's total cost was the single stats pass. Above the gate the
+    # quadratic is real: the cached stats frame feeds the three routing
+    # consumers for free, and the hot list is nonempty by construction
+    # (mx > gate >= hot_threshold), small by construction
+    # (<= total/hot_threshold entries), so flagging is a broadcast left
+    # join — no shuffle of the label side.
+    mx = cell_stats.agg(F.max("_n")).first()[0] or 0
+    leaders = cell_stats.select("_cell_r", "_m.*")
+    if mx <= routing_gate * hot_threshold:
         hot_l = cold_l = None
         phase1 = undecided = None
         exact_left = l_all
         cold_count_frame = l_all
     else:
+        hot_cells = cell_stats.where(F.col("_n") > hot_threshold).select(
+            F.col("_cell_r").alias("_cell"), F.lit(True).alias("_hot")
+        )
         flagged = l_all.join(F.broadcast(hot_cells), "_cell", "left")
         hot_l = flagged.where(F.col("_hot")).drop("_hot")
         cold_l = flagged.where(F.col("_hot").isNull()).drop("_hot")
@@ -441,6 +452,8 @@ def _dedup_frames(
         "undecided": undecided,
         "cold": cold_count_frame,
         "suppressed": suppressed,
+        "routed": phase1 is not None,
+        "max_cell_rows": mx,
     }
 
 
@@ -454,6 +467,8 @@ def dedup_labels(
     materialize: bool = True,
     prepass: bool = True,
     hot_threshold: int = 200,
+    prepass_min_rows: int = 100_000,
+    routing_gate: float = 2.0,
 ) -> DataFrame:
     """kNN label dedup: suppress any label that has a MORE important label
     (smaller ``rank_col``) within ``radius_m``. Deterministic because the
@@ -468,6 +483,21 @@ def dedup_labels(
     path everywhere (the oracle-shaped reference). Results are identical
     (tested, and the osm_dedup_labels DuckDB oracle runs the default).
 
+    The prepass is pay-as-you-go on two levels, so small or unskewed
+    inputs never fund machinery they don't need:
+
+    - **row gate** — below ``prepass_min_rows`` (counted on the already-
+      checkpointed slim frame, ~free) the exact join runs directly: at
+      that size the prepass's fixed multi-stage overhead (stats pass +
+      flag join + leader probe + verdict + semi-join scheduling) costs
+      more wall-clock than the bounded quadratic it avoids, and the
+      ``skew_max_rows`` salting rail still spreads a degenerate cell
+      across tasks. Set ``prepass_min_rows=0`` to force routing.
+    - **skew gate** — above the row gate, one driver action probes
+      ``max(cell rows)``; if no cell exceeds ``routing_gate *
+      hot_threshold`` the stats pass is the only cost paid and everyone
+      routes exact (see :func:`_dedup_frames`).
+
     ``materialize`` (default) localCheckpoints the slim (id, rank, lat,
     lon) projection once: the joins otherwise re-derive ``labels`` several
     times, and a nondeterministic upstream (e.g. an unranked frame) could
@@ -477,8 +507,18 @@ def dedup_labels(
     if materialize:
         slim = slim.localCheckpoint(eager=True)
 
-    if prepass and res is None:
-        fr = _dedup_frames(slim, radius_m, rank_col, id_col, probe_k, hot_threshold)
+    use_prepass = prepass and res is None
+    if use_prepass and prepass_min_rows > 0:
+        # only ~free when the slim frame is checkpointed; an unmaterialized
+        # frame would re-run the producing pipeline just to count it, so the
+        # row gate defers to the skew gate inside _dedup_frames there
+        if materialize and slim.count() < prepass_min_rows:
+            use_prepass = False
+
+    if use_prepass:
+        fr = _dedup_frames(
+            slim, radius_m, rank_col, id_col, probe_k, hot_threshold, routing_gate
+        )
         suppressed = fr["suppressed"]
     else:
         pairs = knn_candidates(slim, slim, radius_m, res=res, probe_k=probe_k)

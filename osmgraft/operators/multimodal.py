@@ -174,52 +174,79 @@ def decode_pnm(payload: bytes) -> np.ndarray:
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Invert PNG scanline filtering (types 0-4 per the PNG spec). Rows
-    with filter None/Up reconstruct as one vectorized numpy op; Sub/
-    Average/Paeth carry a left-neighbor dependency and walk the row (small
-    thumbnails per Arrow batch; clarity over throughput)."""
+    """Invert PNG scanline filtering (types 0-4 per the PNG spec),
+    numpy-vectorized: None/Up are whole-row ops; Sub is a per-channel
+    prefix sum mod 256 (cumsum — modular addition distributes over the
+    running sum); Average/Paeth carry a true left-pixel recurrence, so they
+    loop over *columns* with all channels as one vector step (a further
+    ``bpp`` x over per-sample Python, and no per-element int boxing)."""
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    bad = ftypes[ftypes > 4]
+    if bad.size:
+        raise ValueError(f"PNG filter type {int(bad[0])} invalid")
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = int(ftypes[y])
+        line = arr[y, 1:]
         if f == 0:
             rec = line
-        elif f == 2:  # Up
-            rec = (line + prior) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth
-            rec = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    c = int(prior[x - bpp]) if x >= bpp else 0
+        elif f == 2:  # Up — uint8 addition wraps mod 256 natively
+            rec = line + prior
+        elif f == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] == channel cumsum mod 256
+            rec = (
+                (np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        else:  # Average / Paeth: true left-pixel recurrence — bytearray ints
+            # (C-speed indexing, no numpy scalar boxing; ~an order of
+            # magnitude over per-sample ndarray reads)
+            lb = line.tobytes()
+            pb = prior.tobytes()
+            res = bytearray(stride)
+            if f == 3:  # Average
+                for x in range(bpp):
+                    res[x] = (lb[x] + (pb[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    res[x] = (lb[x] + ((res[x - bpp] + pb[x]) >> 1)) & 0xFF
+            else:  # Paeth; for x < bpp, a == c == 0 so the predictor is b
+                for x in range(bpp):
+                    res[x] = (lb[x] + pb[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = res[x - bpp]
+                    b = pb[x]
+                    c = pb[x - bpp]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(line[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        out[y] = rec.astype(np.uint8)
+                    pa, pbb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pbb and pa <= pc) else (b if pbb <= pc else c)
+                    res[x] = (lb[x] + pred) & 0xFF
+            rec = np.frombuffer(bytes(res), dtype=np.uint8)
+        out[y] = rec
+        prior = out[y]
     return out.reshape(height, width, channels) if channels > 1 else out.reshape(height, width)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+_PNG_MAX_SAMPLES = 64_000_000  # width*height*channels cap (~64 MP gray / 16 MP RGBA)
+
+
+def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarray:
     """Stdlib-only PNG decoder (struct + zlib + numpy): 8-bit depth,
     grayscale (color 0) -> HxW, RGB (color 2) -> HxWx3, RGBA (color 6) ->
     HxWx4; all five scanline filters; non-interlaced only. Palette/16-bit/
     Adam7 raise — this is the training-pipeline thumbnail path, not a
-    general renderer (those payloads route to an injected Pillow codec)."""
+    general renderer (those payloads route to an injected Pillow codec).
+
+    Payloads are untrusted bytes by this module's contract, so the decoder
+    is bomb-safe: IHDR geometry is capped at ``max_samples`` BEFORE any
+    inflate, and the inflate itself runs through ``decompressobj`` with a
+    ``max_length`` bound — a tiny deflate bomb claiming a huge canvas can
+    never allocate past the declared (capped) scanline size."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -251,7 +278,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width < 1 or height < 1:
         raise ValueError(f"bad PNG geometry {width}x{height}")
     channels = {0: 1, 2: 3, 6: 4}[color]
-    return _png_unfilter(zlib.decompress(idat), width, height, channels)
+    if width * height * channels > max_samples:
+        raise ValueError(
+            f"PNG geometry {width}x{height}x{channels} exceeds max_samples={max_samples}"
+        )
+    expected = height * (width * channels + 1)
+    # bounded inflate: ask for exactly one byte more than the scanline
+    # stream; a conforming stream yields == expected, an over-long stream
+    # yields expected+1 and fails the unfilter length check — either way
+    # allocation never exceeds the capped geometry
+    raw = zlib.decompressobj().decompress(idat, expected + 1)
+    return _png_unfilter(raw, width, height, channels)
 
 
 def image_features(img: np.ndarray, n_hist: int = 59) -> np.ndarray:

@@ -277,7 +277,10 @@ def pip_join(
     side bounded at ~``skew_max_rows`` rows per task. This is the
     adaptive-cell-split rail applied at the join key (hex cells don't
     nest across resolutions, so splitting by salt preserves the covering
-    contract where re-encoding finer could not).
+    contract where re-encoding finer could not). The bound is best-effort
+    past ``hot_cell_map``'s replication cap (64 salts): a cell with more
+    than ``64 * skew_max_rows`` rows splits 64 ways proportionally — see
+    :func:`osmgraft.operators.skew.hot_cell_map`.
     """
     lat, lon = point_cols
     polys = _poly_with_bbox(polygons)

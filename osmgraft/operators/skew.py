@@ -120,9 +120,20 @@ def hot_cell_map(
 ) -> DataFrame:
     """``(cell, _n_salts)`` for every cell whose row count exceeds
     ``max_rows`` — the broadcastable split plan for a cell-keyed skew join.
-    ``_n_salts = ceil(count / max_rows)`` (capped), so each split bucket
-    holds ~``max_rows`` rows. Small by construction (<= total/max_rows
-    entries), like :func:`adaptive_cell_split`'s hot list."""
+    ``_n_salts = ceil(count / max_rows)`` (capped at ``n_cap``), so each
+    split bucket holds ~``max_rows`` rows. Small by construction
+    (<= total/max_rows entries), like :func:`adaptive_cell_split`'s hot
+    list.
+
+    ``n_cap`` bounds the PROBE-side replication cost (every probe row
+    pointing at a hot cell fans out ``_n_salts`` x in
+    :func:`replicate_cells`): a cell with more than ``n_cap * max_rows``
+    rows still splits into only ``n_cap`` buckets, each holding
+    ``count / n_cap`` rows — the per-task bound degrades gracefully to
+    best-effort instead of letting one mega-cell multiply the whole probe
+    side. Callers (``pip_join`` / ``knn_candidates``) advertise the same
+    contract: reduce-side tasks are bounded at ~``max_rows`` up to
+    ``n_cap * max_rows`` rows per cell, proportional-split beyond."""
     counts = df.groupBy(cell_col).agg(F.count("*").alias("_n"))
     return counts.where(F.col("_n") > max_rows).select(
         F.col(cell_col),

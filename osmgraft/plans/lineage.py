@@ -48,10 +48,13 @@ def partition_fingerprint(df: DataFrame) -> list[dict]:
     ]
 
 
-def materialize(df: DataFrame, path: str, stage: str, mode: str = "overwrite") -> DataFrame:
+def materialize(
+    df: DataFrame, path: str, stage: str, mode: str = "overwrite", extra: dict | None = None
+) -> DataFrame:
     """Write a stage to Parquet + lineage sidecar; returns the re-read frame
     (downstream reads decouple from upstream lineage -> shorter plans,
-    stable resume points)."""
+    stable resume points). ``extra`` merges additional keys into the
+    sidecar (chunk writes record their chunking there)."""
     df.write.mode(mode).parquet(path)
     spark = df.sparkSession
     out = spark.read.parquet(path)
@@ -64,6 +67,8 @@ def materialize(df: DataFrame, path: str, stage: str, mode: str = "overwrite") -
         "partitions": fp,
         "schema": out.schema.jsonValue(),
     }
+    if extra:
+        meta.update(extra)
     with open(os.path.join(path, LINEAGE_FILE), "w") as fh:
         json.dump(meta, fh)
     return out
@@ -124,7 +129,14 @@ def materialize_chunked(
             chunk_metas.append({**existing[i], "resumed": True})
             continue
         cpath = _chunk_path(path, i)
-        materialize(src.where(F.col("_chunk") == i).drop("_chunk"), cpath, f"{stage}#{i}")
+        materialize(
+            src.where(F.col("_chunk") == i).drop("_chunk"),
+            cpath,
+            f"{stage}#{i}",
+            # the chunk records the modulus its rows were assigned under —
+            # resume refuses to mix chunks from different chunkings
+            extra={"n_chunks": n_chunks, "chunk_index": i, "chunk_by": chunk_by},
+        )
         chunk_metas.append(read_lineage(cpath))
     spark = df.sparkSession
     meta = {
@@ -138,7 +150,21 @@ def materialize_chunked(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, LINEAGE_FILE), "w") as fh:
         json.dump(meta, fh)
+    _prune_stale_chunks(path, n_chunks)
     return read_chunked(spark, path, n_chunks)
+
+
+def _prune_stale_chunks(path: str, n_chunks: int) -> None:
+    """Remove orphan ``chunk-XXXXX`` dirs beyond the current chunking (left
+    behind when a path is re-chunked with a smaller ``n_chunks``) so a
+    later resume can never read rows assigned under a different modulus."""
+    import re
+    import shutil
+
+    for name in os.listdir(path):
+        m = re.fullmatch(r"chunk-(\d{5})", name)
+        if m and int(m.group(1)) >= n_chunks:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def resume_or_compute(
@@ -155,16 +181,27 @@ def resume_or_compute(
     With ``n_chunks > 1`` the reuse is per partition-range: every chunk
     whose own sidecar verifies is kept as-is and only the missing chunks
     are computed and written (the builder runs once, filtered per missing
-    chunk). All chunks verified -> the builder never runs."""
+    chunk). All chunks verified -> the builder never runs.
+
+    A chunk is reusable only if its sidecar records the SAME ``n_chunks``
+    it is being resumed under: chunk membership is ``pmod(hash, n_chunks)``,
+    so a chunk written under a different modulus holds a different row set
+    — mixing chunkings would silently drop or duplicate rows. Stale chunks
+    (older sidecar format or mismatched ``n_chunks``) are discarded and
+    recomputed."""
     if n_chunks <= 1:
         if is_complete(spark, path):
             return spark.read.parquet(path)
         return materialize(builder(), path, stage)
-    existing = {
-        i: read_lineage(_chunk_path(path, i))
-        for i in range(n_chunks)
-        if is_complete(spark, _chunk_path(path, i))
-    }
+    existing = {}
+    for i in range(n_chunks):
+        cpath = _chunk_path(path, i)
+        if not is_complete(spark, cpath):
+            continue
+        meta = read_lineage(cpath)
+        if meta.get("n_chunks") != n_chunks:
+            continue  # written under a different modulus: row set differs
+        existing[i] = meta
     if len(existing) == n_chunks:
         if not os.path.exists(os.path.join(path, LINEAGE_FILE)):
             # all chunks landed but the kill hit before the stage sidecar

@@ -148,6 +148,37 @@ def test_png_rejects_unsupported_shapes():
     assert decode_png(ok).shape == (4, 4)
 
 
+def test_png_decode_bomb_safe():
+    """Untrusted-bytes contract: a tiny deflate bomb claiming a huge canvas
+    must be rejected at the IHDR geometry cap BEFORE any inflate, and an
+    over-long pixel stream within a sane canvas must fail the bounded
+    inflate's length check — neither path allocates the claimed size."""
+    # 1) 100000x100000 RGB claimed by a <1 KB payload -> geometry cap
+    bomb_ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", bomb_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="max_samples"):
+        decode_png(bomb)
+    # 2) sane 4x4 gray canvas but the deflate stream inflates far past the
+    #    declared scanlines -> bounded decompressobj + length check
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(over)
+    # the cap is configurable: the same bomb decodes nothing but a clear
+    # error with a raised cap too (still no crash path)
+    with pytest.raises(ValueError):
+        decode_png(bomb, max_samples=10**18)
+
+
 def test_pnm_p5_p6_with_comments():
     img = _test_img(6, 5, 1)
     p5 = b"P5 # gray\n# another comment\n 5 6\n255\n" + img.tobytes()

@@ -137,11 +137,11 @@ def test_lineage_partition_range_resume(spark, tmp_path):
     # simulate the kill: materialize() dies on its SECOND chunk write
     real_materialize, writes = materialize, []
 
-    def dying(frame, cpath, stage, mode="overwrite"):
+    def dying(frame, cpath, stage, mode="overwrite", extra=None):
         if len(writes) == 1:
             raise RuntimeError("killed mid-stage")
         writes.append(cpath)
-        return real_materialize(frame, cpath, stage, mode)
+        return real_materialize(frame, cpath, stage, mode, extra)
 
     lineage.materialize = dying
     try:
@@ -180,6 +180,44 @@ def test_lineage_partition_range_resume(spark, tmp_path):
     out2 = resume_or_compute(spark, path, "stage2", builder, n_chunks=2, chunk_by=["id"])
     assert calls == [1]
     assert out2.count() == 1000
+
+
+def test_lineage_chunking_mismatch_recomputes(spark, tmp_path):
+    """A path written under one n_chunks must NOT donate chunks to a resume
+    requesting a different n_chunks: chunk membership is pmod(hash, N), so
+    chunk-00000 of a 3-chunking holds a different row set than chunk-00000
+    of a 2-chunking. Resume must discard the stale chunks, recompute from
+    scratch, and prune orphan chunk dirs — never drop or duplicate rows."""
+    import os
+
+    from osmgraft.plans.lineage import materialize_chunked, read_lineage, resume_or_compute
+
+    path = str(tmp_path / "stage3")
+    df = spark.range(900).withColumn("v", F.col("id") * 5)
+    materialize_chunked(df, path, "stage3", n_chunks=3, chunk_by=["id"])
+    assert read_lineage(path)["n_chunks"] == 3
+    assert read_lineage(os.path.join(path, "chunk-00000"))["n_chunks"] == 3
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(900).withColumn("v", F.col("id") * 5)
+
+    out = resume_or_compute(spark, path, "stage3", builder, n_chunks=2, chunk_by=["id"])
+    assert calls == [1]  # stale 3-chunking rejected -> full recompute
+    got = sorted((r["id"], r["v"]) for r in out.collect())
+    assert got == [(i, 5 * i) for i in range(900)]  # no drops, no dups
+    meta = read_lineage(path)
+    assert meta["n_chunks"] == 2 and meta["total_rows"] == 900
+    assert all(not c.get("resumed", False) for c in meta["chunks"])
+    # the 3rd chunk dir of the old chunking is pruned, not silently mixed
+    assert not os.path.exists(os.path.join(path, "chunk-00002"))
+
+    # matching-chunking resume still reuses everything
+    out2 = resume_or_compute(spark, path, "stage3", builder, n_chunks=2, chunk_by=["id"])
+    assert calls == [1]
+    assert out2.count() == 900
 
 
 def test_salt_id_col_deterministic(spark):

@@ -323,10 +323,57 @@ def test_dedup_prepass_equals_exact_path(spark):
             rows.append((i, float(cx + rng.normal(0, sd)), float((lo + 180) % 360 - 180), i))
             i += 1
     df = spark.createDataFrame(rows, "osm_id long, lat double, lon double, rank long")
-    a = sorted(r["osm_id"] for r in dedup_labels(df, 2000.0, prepass=True).collect())
+    # prepass_min_rows=0 + hot_threshold low enough that routing actually
+    # engages on this 300-row fixture (the default row/skew gates would
+    # short-circuit it to the exact path and make this test vacuous)
+    a = sorted(
+        r["osm_id"]
+        for r in dedup_labels(
+            df, 2000.0, prepass=True, prepass_min_rows=0, hot_threshold=20
+        ).collect()
+    )
     b = sorted(r["osm_id"] for r in dedup_labels(df, 2000.0, prepass=False).collect())
     assert a == b
     assert 0 < len(a) < len(rows)
+
+
+def test_dedup_prepass_gates(spark):
+    """Pay-as-you-go: below the row gate or the skew gate the prepass must
+    short-circuit to the exact join (no leader routing), and the output is
+    identical either way."""
+    from osmgraft.operators.knn import _dedup_frames, dedup_labels
+
+    rng = np.random.default_rng(31)
+    n = 900
+    rows = [
+        (i, float(45.0 + rng.normal(0, 0.5)), float(7.0 + rng.normal(0, 0.5)), i)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "osm_id long, lat double, lon double, rank long")
+    slim = df.select("osm_id", "rank", "lat", "lon").localCheckpoint(eager=True)
+
+    # spread input: densest cell ~n/cells << 2x hot_threshold -> skew gate
+    # short-circuits (routed=False) even when the caller forces the prepass
+    fr = _dedup_frames(slim, 2000.0, "rank", "osm_id", probe_k=3, hot_threshold=200)
+    assert fr["routed"] is False and fr["max_cell_rows"] <= 400
+
+    # a 500-row blob in one cell exceeds 2 x hot_threshold=100 -> routed
+    blob = [(i, 45.0 + i * 1e-6, 7.0, i) for i in range(500)]
+    bdf = spark.createDataFrame(blob, "osm_id long, lat double, lon double, rank long")
+    bslim = bdf.select("osm_id", "rank", "lat", "lon").localCheckpoint(eager=True)
+    fr2 = _dedup_frames(bslim, 2000.0, "rank", "osm_id", probe_k=3, hot_threshold=100)
+    assert fr2["routed"] is True
+
+    # default row gate (100k) skips the prepass entirely on this input;
+    # result identical to the forced-routing path
+    got_gated = sorted(r["osm_id"] for r in dedup_labels(df, 2000.0).collect())
+    got_routed = sorted(
+        r["osm_id"]
+        for r in dedup_labels(
+            df, 2000.0, prepass_min_rows=0, hot_threshold=50
+        ).collect()
+    )
+    assert got_gated == got_routed
 
 
 def test_dedup_hot_cell_bounded(spark):
