@@ -141,6 +141,68 @@ def _stage_wav_oracle(n: int = 150) -> str:
     return _WAV_ORACLE_PATH
 
 
+_JPEG_ORACLE_PATH = "/tmp/osmgraft_jpeg_oracle.parquet"
+
+
+def _stage_jpeg_oracle(n: int = 120) -> str:
+    """Deterministic VALID baseline JPEG payloads staged without Spark,
+    mixing grayscale/RGB 4:4:4/RGB 4:2:0 and restart intervals. JPEG is
+    lossy, so the oracle side-channel (``w``/``h``/``px_sum``) is produced
+    by decoding each payload ONCE at staging time (driver-side, same
+    deterministic decoder); the Spark query must reproduce all three from
+    the BYTES through the full entropy-decode + IDCT + color path on
+    executors. What the hash match proves: the distributed Arrow kernel
+    decodes byte-identically to the staging decode."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmgraft.operators.jpegcodec import decode_jpeg, encode_jpeg_baseline
+
+    if os.path.exists(_JPEG_ORACLE_PATH):
+        return _JPEG_ORACLE_PATH
+
+    ids, ws, hs, sums, payloads = [], [], [], [], []
+    for i in range(n):
+        w = 16 + (i * 7) % 48
+        h = 16 + (i * 11) % 40
+        rng = np.random.default_rng([97, i])
+        y, x = np.mgrid[0:h, 0:w]
+        base = ((x * 5 + y * 3 + i) % 256).astype(np.uint8)
+        if i % 3 == 0:
+            img = base
+            payload = encode_jpeg_baseline(img, quality=90 + (i % 11))
+        elif i % 3 == 1:
+            img = np.stack([base, base[::-1], rng.integers(0, 256, (h, w), dtype=np.uint8)], axis=2)
+            payload = encode_jpeg_baseline(img, quality=85 + (i % 16), subsampling="444")
+        else:
+            img = np.stack([base, np.roll(base, 3, axis=1), np.roll(base, 5, axis=0)], axis=2)
+            payload = encode_jpeg_baseline(
+                img, quality=80 + (i % 21), subsampling="420", restart_interval=(i % 4)
+            )
+        dec = decode_jpeg(payload)
+        ids.append(i)
+        hs.append(dec.shape[0])
+        ws.append(dec.shape[1])
+        sums.append(int(dec.astype(np.int64).sum()))
+        payloads.append(payload)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        _JPEG_ORACLE_PATH,
+    )
+    return _JPEG_ORACLE_PATH
+
+
 _PNG_ORACLE_PATH = "/tmp/osmgraft_png_oracle.parquet"
 
 
@@ -893,6 +955,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_png_oracle()).select("media_id", "payload")
         return png_decode_meta(media)
 
+    def q_jpeg_decode(spark, sf):
+        # the real stdlib baseline-JPEG codec: geometry + pixel sum
+        # recovered from the payload BYTES (Huffman entropy decode +
+        # dequant + IDCT + YCbCr transform; the staged w/h/px_sum columns
+        # are the oracle's ground truth from an independent staging-time
+        # decode — JPEG is lossy, so pixels can't be re-derived in SQL)
+        from osmgraft.operators.multimodal import jpeg_decode_meta
+
+        media = spark.read.parquet(_stage_jpeg_oracle()).select("media_id", "payload")
+        return jpeg_decode_meta(media)
+
     def q_hex_cells(spark, sf):
         from osmgraft.functions.cells import hex_cell_udf
 
@@ -976,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "wav_decode": q_wav_decode,
         "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
@@ -1263,6 +1337,12 @@ def oracle_sql() -> dict[str, str]:
             # reproduce them from the PNG bytes (inflate + unfilter)
             f"select media_id, w as width, h as height, px_sum "
             f"from read_parquet('{_stage_png_oracle()}')"
+        ),
+        "jpeg_decode": (
+            # staging-time decode ground truth; the Spark side must
+            # reproduce it from the JPEG bytes (Huffman + IDCT + YCbCr)
+            f"select media_id, w as width, h as height, px_sum "
+            f"from read_parquet('{_stage_jpeg_oracle()}')"
         ),
         "dedup_labels_pts": (
             f"with p as ({_PTS_SQL}) "

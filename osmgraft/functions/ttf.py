@@ -16,6 +16,9 @@ actually metric-bearing:
 - ``cmap``  -> codepoint -> glyph id (formats 4 and 12; missing chars map
   to glyph 0, FreeType's .notdef behavior)
 - ``kern``  -> format-0 horizontal pair kerning (font units)
+- ``GPOS``  -> PairPos (lookup type 2, formats 1 and 2 incl. class-based,
+  Extension/type-9 unwrapped) — modern fonts carry kerning exclusively
+  here; legacy ``kern`` wins when both exist (FreeType behavior)
 - ``loca``/``glyf`` -> glyph outlines (quadratic TrueType contours; simple
   and composite glyphs), consumed by the scanline rasterizer that makes
   the K3 atlas PNG glyph-faithful (ref renders via cairo+FreeType,
@@ -27,8 +30,7 @@ Scaling mirrors the reference exactly for unhinted metrics:
 is ``ceil(units * px_per_unit)``. Fidelity delta (documented): FreeType's
 ``FT_LOAD_RENDER`` applies hinting, which can perturb advances by a pixel
 at tiny sizes; a byte-table parser cannot execute hinting programs, so
-these are the *linear* (unhinted) metrics. GPOS-only fonts (no legacy
-``kern`` table) yield empty kerning.
+these are the *linear* (unhinted) metrics.
 
 Everything here derives from the public TrueType/OpenType specification.
 """
@@ -57,6 +59,37 @@ class TtfTables:
     kern: dict[tuple[int, int], int]  # (left gid, right gid) -> units
     glyf: bytes | None = None  # raw glyf table (outline fonts only)
     loca: tuple[int, ...] | None = None  # per-gid offsets into glyf
+    gpos_kern: tuple = ()  # PairPos subtables from _parse_gpos_kern
+
+    def kern_units(self, left: int, right: int) -> int:
+        """Pair kerning in font units: the legacy ``kern`` table wins when
+        both exist (FreeType behavior — ref font.cpp:100-122 reads
+        FT_Get_Kerning, which serves kern before synthesized GPOS);
+        otherwise the first GPOS PairPos hit in lookup order applies. In
+        the class-based format a 0 matrix cell means "no kerning for this
+        class pair" and falls through to later subtables."""
+        v = self.kern.get((left, right))
+        if v is not None:
+            return v
+        for sub in self.gpos_kern:
+            if sub[0] == "1":
+                _, cov, sets = sub
+                idx = cov.get(left)
+                if idx is None or idx >= len(sets):
+                    continue
+                hit = sets[idx].get(right)
+                if hit is not None:
+                    return hit
+            else:
+                _, cov, cd1, cd2, matrix = sub
+                if left not in cov:
+                    continue
+                c1, c2 = _class_of(cd1, left), _class_of(cd2, right)
+                if c1 < len(matrix) and c2 < len(matrix[c1]):
+                    v2 = matrix[c1][c2]
+                    if v2:
+                        return v2
+        return 0
 
     def glyph_id(self, ch: str) -> int:
         return self.cmap.get(ord(ch), 0)
@@ -154,6 +187,129 @@ def _parse_kern(data: bytes, off: int) -> dict[tuple[int, int], int]:
                 pairs[(left, right)] = value
         pos += length
     return pairs
+
+
+def _parse_coverage(data: bytes, off: int) -> dict[int, int]:
+    """OpenType Coverage table -> {glyph id: coverage index}."""
+    (fmt,) = struct.unpack_from(">H", data, off)
+    if fmt == 1:
+        (n,) = struct.unpack_from(">H", data, off + 2)
+        glyphs = struct.unpack_from(f">{n}H", data, off + 4)
+        return {g: i for i, g in enumerate(glyphs)}
+    if fmt == 2:
+        (n,) = struct.unpack_from(">H", data, off + 2)
+        cov: dict[int, int] = {}
+        for r in range(n):
+            start, end, start_idx = struct.unpack_from(">HHH", data, off + 4 + 6 * r)
+            for g in range(start, end + 1):
+                cov[g] = start_idx + (g - start)
+        return cov
+    raise ValueError(f"coverage format {fmt} invalid")
+
+
+def _parse_classdef(data: bytes, off: int):
+    (fmt,) = struct.unpack_from(">H", data, off)
+    if fmt == 1:
+        start, n = struct.unpack_from(">HH", data, off + 2)
+        return ("1", start, struct.unpack_from(f">{n}H", data, off + 6))
+    if fmt == 2:
+        (n,) = struct.unpack_from(">H", data, off + 2)
+        ranges = [
+            struct.unpack_from(">HHH", data, off + 4 + 6 * r) for r in range(n)
+        ]
+        return ("2", ranges)
+    raise ValueError(f"classdef format {fmt} invalid")
+
+
+def _class_of(cd, gid: int) -> int:
+    if cd[0] == "1":
+        _, start, classes = cd
+        return classes[gid - start] if start <= gid < start + len(classes) else 0
+    for start, end, cls in cd[1]:
+        if start <= gid <= end:
+            return cls
+    return 0  # glyphs outside all ranges are class 0 per spec
+
+
+def _vr_size(vf: int) -> int:
+    return bin(vf & 0xFF).count("1") * 2
+
+
+def _vr_xadv_off(vf: int) -> int | None:
+    """Byte offset of XAdvance inside a ValueRecord, None if absent."""
+    if not vf & 0x0004:
+        return None
+    off = 0
+    for bit in (0x0001, 0x0002):
+        if vf & bit:
+            off += 2
+    return off
+
+
+def _parse_pairpos(data: bytes, st: int):
+    """One GPOS lookup-type-2 (PairPos) subtable -> kerning structure, or
+    None when it carries no first-glyph XAdvance (not kerning as the
+    reference consumes it)."""
+    fmt, cov_off, vf1, vf2 = struct.unpack_from(">HHHH", data, st)
+    xoff = _vr_xadv_off(vf1)
+    if xoff is None:
+        return None
+    sz1, sz2 = _vr_size(vf1), _vr_size(vf2)
+    cov = _parse_coverage(data, st + cov_off)
+    if fmt == 1:
+        (n_sets,) = struct.unpack_from(">H", data, st + 8)
+        sets: list[dict[int, int]] = []
+        step = 2 + sz1 + sz2
+        for i in range(n_sets):
+            ps = st + struct.unpack_from(">H", data, st + 10 + 2 * i)[0]
+            (n_pairs,) = struct.unpack_from(">H", data, ps)
+            d: dict[int, int] = {}
+            for p in range(n_pairs):
+                (second,) = struct.unpack_from(">H", data, ps + 2 + p * step)
+                (xadv,) = struct.unpack_from(">h", data, ps + 2 + p * step + 2 + xoff)
+                d[second] = xadv
+            sets.append(d)
+        return ("1", cov, sets)
+    if fmt == 2:
+        cd1_off, cd2_off, c1n, c2n = struct.unpack_from(">HHHH", data, st + 8)
+        step = sz1 + sz2
+        base = st + 16
+        matrix = [
+            [
+                struct.unpack_from(">h", data, base + (i * c2n + j) * step + xoff)[0]
+                for j in range(c2n)
+            ]
+            for i in range(c1n)
+        ]
+        return ("2", cov, _parse_classdef(data, st + cd1_off), _parse_classdef(data, st + cd2_off), matrix)
+    return None
+
+
+def _parse_gpos_kern(data: bytes, off: int) -> tuple:
+    """GPOS -> PairPos subtables in lookup order. Walks the LookupList
+    directly (no script/feature filtering: the metrics consumer wants any
+    horizontal pair kerning, which in practice is the 'kern' feature);
+    lookup type 2 consumed directly, type 9 (Extension) unwrapped."""
+    _maj, _min, _script, _feat, lookup_list = struct.unpack_from(">HHHHH", data, off)
+    ll = off + lookup_list
+    (n_lookups,) = struct.unpack_from(">H", data, ll)
+    out = []
+    for i in range(n_lookups):
+        lk = ll + struct.unpack_from(">H", data, ll + 2 + 2 * i)[0]
+        ltype, _flag, n_sub = struct.unpack_from(">HHH", data, lk)
+        for s in range(n_sub):
+            st = lk + struct.unpack_from(">H", data, lk + 6 + 2 * s)[0]
+            t = ltype
+            if t == 9:  # Extension positioning: 32-bit indirection
+                _efmt, ext_type, ext_off = struct.unpack_from(">HHI", data, st)
+                st += ext_off
+                t = ext_type
+            if t != 2:
+                continue
+            sub = _parse_pairpos(data, st)
+            if sub is not None:
+                out.append(sub)
+    return tuple(out)
 
 
 def _parse_simple_glyph(data: bytes, off: int, n_contours: int) -> list[Contour]:
@@ -379,6 +535,7 @@ def parse_ttf(path: str) -> TtfTables:
     advances += [advances[-1]] * (num_glyphs - n_hmetrics)  # trailing glyphs repeat last
     cmap = _parse_cmap(data, tables["cmap"][0])
     kern = _parse_kern(data, tables["kern"][0]) if "kern" in tables else {}
+    gpos = _parse_gpos_kern(data, tables["GPOS"][0]) if "GPOS" in tables else ()
     glyf = loca = None
     if "glyf" in tables and "loca" in tables:
         (loc_fmt,) = struct.unpack_from(">h", data, tables["head"][0] + 50)
@@ -391,7 +548,7 @@ def parse_ttf(path: str) -> TtfTables:
             )
         g_off, g_len = tables["glyf"]
         glyf = data[g_off : g_off + g_len]
-    return TtfTables(units_per_em, num_glyphs, cmap, advances, kern, glyf, loca)
+    return TtfTables(units_per_em, num_glyphs, cmap, advances, kern, glyf, loca, gpos)
 
 
 def metrics_from_ttf(
@@ -411,7 +568,8 @@ def metrics_from_ttf(
     kerning: dict[tuple[str, str], int] = {}
     for prev in chars:
         for cur in chars:
-            units = font.kern.get((gids[prev], gids[cur]), 0)
+            # legacy kern preferred, GPOS PairPos otherwise (kern_units)
+            units = font.kern_units(gids[prev], gids[cur])
             if units:
                 kerning[(prev, cur)] = math.ceil(units * px_per_unit)
     return FontMetrics(

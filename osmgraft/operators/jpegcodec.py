@@ -1,0 +1,565 @@
+"""Stdlib+numpy baseline JPEG codec (ITU-T T.81, sequential DCT, Huffman).
+
+JPEG is the dominant real-world training-image format; round 4 shipped real
+PNG/PNM/WAV codecs but left ``image/jpeg`` raising behind the multimodal
+seam. This module closes that gap with a from-spec implementation — no
+Pillow, no libjpeg: marker parse (struct), entropy decode (canonical
+Huffman per T.81 F.2.2), and a fully numpy-vectorized dequant + IDCT
+(one orthonormal-basis einsum over every block of a component at once).
+
+Decoder scope (baseline = SOF0, plus SOF1 extended sequential Huffman):
+8-bit samples, 1-component grayscale or 3-component YCbCr (JFIF) with
+sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart intervals, 8- and
+16-bit-precision quant tables. Progressive (SOF2+), arithmetic coding,
+12-bit, and CMYK raise ``ValueError`` — those payloads route to the
+injected Pillow codec seam (``extract_features(codec=...)``), same honest
+contract as the PNG decoder's palette/Adam7 gaps.
+
+The encoder is the synth/test counterpart (like ``encode_wav_pcm16`` for
+WAV): baseline writer with configurable quality / chroma subsampling /
+restart interval. It emits per-image canonical Huffman tables where every
+used symbol gets the same code length (legal JPEG — tables travel in DHT;
+the all-ones code stays unused) — compression is irrelevant for staging,
+decode correctness is what the oracles pin.
+
+Like the PNG path, payloads are untrusted: SOF geometry is capped before
+any allocation and the entropy decode validates Huffman codes and
+coefficient indices instead of trusting them.
+
+Reference parity note: the reference delegates all raster work to system
+libs (FreeType/cairo — e.g. ``src/label/font.cpp:195-361``); JPEG decode
+has no reference analogue and exists for the multimodal training-pipeline
+brief, so the spec (ITU-T T.81 / JFIF) is the authority here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_SAMPLES = 64_000_000  # width*height*components cap, like decode_png
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row*8+col) indices in zigzag scan order, generated from the
+    anti-diagonal walk instead of a hand-typed table."""
+    order: list[int] = []
+    for s in range(15):
+        lo, hi = max(0, s - 7), min(7, s)
+        rows = range(lo, hi + 1) if s % 2 else range(hi, lo - 1, -1)
+        for r in rows:
+            order.append(r * 8 + (s - r))
+    return np.asarray(order, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# orthonormal DCT-II basis: JPEG's FDCT is F = C @ f @ C.T, IDCT f = C.T @ F @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _HuffTable:
+    """Canonical Huffman table in T.81 DECODE form (mincode/maxcode/valptr)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+    def __init__(self, bits: list[int], vals: bytes):
+        if sum(bits) != len(vals):
+            raise ValueError("DHT: BITS/HUFFVAL length mismatch")
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            self.valptr[length] = k
+            self.mincode[length] = code
+            n = bits[length - 1]
+            code += n
+            k += n
+            self.maxcode[length] = code - 1 if n else -1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy segment. The segment bytes are
+    expanded once (vectorized) into an ASCII '0'/'1' string; ``read`` is
+    then a C-speed ``int(slice, 2)`` — no per-bit Python arithmetic."""
+
+    __slots__ = ("s", "pos")
+
+    def __init__(self, seg: bytes):
+        self.s = (np.unpackbits(np.frombuffer(seg, np.uint8)) + ord("0")).astype(
+            np.uint8
+        ).tobytes().decode("ascii") if seg else ""
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        if p + n > len(self.s):
+            raise ValueError("JPEG entropy stream truncated")
+        self.pos = p + n
+        return int(self.s[p : p + n], 2)
+
+    def read_bit(self) -> int:
+        p = self.pos
+        if p >= len(self.s):
+            raise ValueError("JPEG entropy stream truncated")
+        self.pos = p + 1
+        return self.s[p] == "1"
+
+
+def _huff_decode(r: _BitReader, t: _HuffTable) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        mx = t.maxcode[length]
+        if mx >= 0 and t.mincode[length] <= code <= mx:
+            return t.vals[t.valptr[length] + code - t.mincode[length]]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _scan_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded scan at RSTn markers and drop 0xFF00 byte
+    stuffing; returns (segments, position of the terminating marker)."""
+    segs: list[bytearray] = [bytearray()]
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            segs[-1].append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytearray())
+            i += 2
+        else:
+            break
+    return [bytes(s) for s in segs], i
+
+
+def decode_jpeg(payload: bytes, max_samples: int = _MAX_SAMPLES) -> np.ndarray:
+    """Baseline JPEG -> HxW uint8 (grayscale) or HxWx3 uint8 (RGB).
+
+    See module docstring for the supported envelope; everything outside it
+    raises ``ValueError`` (``NotImplementedError`` never — the seam treats
+    a raise as "route to the injected codec")."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (height, width, comps) ; comps = [(cid, h, v, tq)]
+
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG marker desync at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seglen]
+        i += 2 + seglen
+
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[p : p + 64], np.uint8).astype(np.int32)
+                    p += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(body[p : p + 128], ">u2").astype(np.int32)
+                    p += 128
+                else:
+                    raise ValueError(f"DQT precision {pq} invalid")
+                if tbl.size != 64:
+                    raise ValueError("DQT table truncated")
+                quant[tq] = tbl  # kept in zigzag order, like the coefficients
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = body[p + 17 : p + 17 + cnt]
+                p += 17 + cnt
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, height, width, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported (8-bit only)")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF marker 0xFF{marker:02X} unsupported (baseline sequential "
+                "Huffman only — progressive/lossless/arithmetic route to the "
+                "injected codec seam)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            height, width, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError(
+                    "JPEG non-interleaved multi-scan unsupported (single "
+                    "interleaved scan only)"
+                )
+            scan_tables = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
+            segs, _ = _scan_segments(payload, i)
+            return _decode_scan(
+                height, width, comps, scan_tables, quant, huff_dc, huff_ac,
+                segs, restart_interval, max_samples,
+            )
+        # APPn / COM / everything else: skipped
+    raise ValueError("JPEG missing SOS/EOI structure")
+
+
+def _decode_scan(
+    height: int,
+    width: int,
+    comps: list[tuple[int, int, int, int]],
+    scan_tables: dict[int, tuple[int, int]],
+    quant: dict[int, np.ndarray],
+    huff_dc: dict[int, _HuffTable],
+    huff_ac: dict[int, _HuffTable],
+    segs: list[bytes],
+    restart_interval: int,
+    max_samples: int,
+) -> np.ndarray:
+    if height < 1 or width < 1:
+        raise ValueError(f"bad JPEG geometry {width}x{height}")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)}-component JPEG unsupported (gray/YCbCr only)")
+    if height * width * len(comps) > max_samples:
+        raise ValueError(
+            f"JPEG geometry {width}x{height}x{len(comps)} exceeds max_samples={max_samples}"
+        )
+    for _, h, v, _ in comps:
+        if h not in (1, 2) or v not in (1, 2):
+            raise ValueError(f"sampling factor {h}x{v} unsupported (1-2 only)")
+    if len(comps) == 1:
+        # a lone component is its own MCU grid; normalize factors to 1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # per-component coefficient store (blocks_h, blocks_w, 64), zigzag order
+    coefs = []
+    for _, h, v, _ in comps:
+        coefs.append(np.zeros((mcus_y * v, mcus_x * h, 64), np.int32))
+
+    seg_idx = 0
+    reader = _BitReader(segs[0] if segs else b"")
+    dc_pred = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("JPEG restart marker missing")
+            reader = _BitReader(segs[seg_idx])
+            dc_pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (cid, h, v, _tq) in enumerate(comps):
+            if cid not in scan_tables:
+                raise ValueError(f"SOS lacks tables for component {cid}")
+            td, ta = scan_tables[cid]
+            dct, act = huff_dc.get(td), huff_ac.get(ta)
+            if dct is None or act is None:
+                raise ValueError("SOS references undefined Huffman table")
+            for bv in range(v):
+                for bh in range(h):
+                    blk = coefs[ci][my * v + bv, mx * h + bh]
+                    s = _huff_decode(reader, dct)
+                    if s > 11:
+                        raise ValueError(f"DC size {s} invalid")
+                    dc_pred[ci] += _receive_extend(reader, s)
+                    blk[0] = dc_pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC coefficient index overrun")
+                        blk[k] = _receive_extend(reader, s)
+                        k += 1
+
+    # dequantize + de-zigzag + IDCT, vectorized per component
+    planes = []
+    for ci, (_, h, v, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError(f"SOF references undefined quant table {tq}")
+        deq = coefs[ci].astype(np.float64) * quant[tq][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZZ] = deq
+        bh, bw = nat.shape[0], nat.shape[1]
+        freq = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ky,ijyx,xl->ijkl", _DCT_C.T, freq, _DCT_C)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+        # crop to the component's own sample grid, then upsample to full res
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (synth/test counterpart)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad_to_byte(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _flat_huff(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Canonical table where every used symbol has the same code length —
+    legal (all-ones code unused because n <= 2^L - 1), trivially decodable,
+    and compression-agnostic by design (staging, not archiving)."""
+    syms = sorted(symbols) or [0]
+    length = 1
+    while (1 << length) - 1 < len(syms):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    codes = {s: (i, length) for i, s in enumerate(syms)}
+    return bits, bytes(syms), codes
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF writer: gray (HxW) -> 1 component; RGB (HxWx3) ->
+    YCbCr with ``subsampling`` '444' (no chroma subsampling) or '420'
+    (2x2 mean). ``quality=100`` emits all-ones quant tables (round-trip
+    error bounded by DCT rounding, pinned in tests); lower quality scales
+    a frequency-ramp table. ``restart_interval`` in MCUs (0 = none)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_baseline expects uint8 samples")
+    if img.ndim == 2:
+        comps_px = [img.astype(np.float64)]
+        sampling = [(1, 1)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        if subsampling == "444":
+            comps_px = [y, cb, cr]
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "420":
+            comps_px = [y, _mean_pool2(cb), _mean_pool2(cr)]
+            sampling = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"subsampling {subsampling!r} not in ('444', '420')")
+    else:
+        raise ValueError("expected HxW gray or HxWx3 RGB")
+
+    height, width = img.shape[:2]
+    # quant tables in zigzag order: luminance = chrominance = frequency ramp
+    scale = max(0.0, (100 - quality) / 50.0)
+    ramp = 1.0 + (np.add.outer(np.arange(8), np.arange(8)).reshape(64)[_np_argsort_zz()]) * 4.0 * scale
+    qtab = np.clip(np.round(ramp), 1, 255).astype(np.int32)
+
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # FDCT + quantize all blocks per component (vectorized), zigzag order
+    comp_coefs = []
+    for px, (h, v) in zip(comps_px, sampling):
+        ph, pw = mcus_y * v * 8, mcus_x * h * 8
+        pad = np.pad(px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge")
+        blocks = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+        freq = np.einsum("ky,ijyx,xl->ijkl", _DCT_C, blocks, _DCT_C.T)
+        zz = freq.reshape(freq.shape[0], freq.shape[1], 64)[..., _ZZ]
+        comp_coefs.append(np.round(zz / qtab[None, None, :]).astype(np.int32))
+
+    # pass 1: tokenize in MCU scan order, collecting symbol sets
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    tokens = []  # per MCU: list of (kind, payload)
+    dc_pred = [0] * len(comps_px)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            dc_pred = [0] * len(comps_px)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (h, v) in enumerate(sampling):
+            for bv in range(v):
+                for bh in range(h):
+                    blk = comp_coefs[ci][my * v + bv, mx * h + bh]
+                    diff = int(blk[0]) - dc_pred[ci]
+                    dc_pred[ci] = int(blk[0])
+                    s = _size_cat(diff)
+                    dc_syms.add(s)
+                    toks = [("dc", s, diff)]
+                    run = 0
+                    for k in range(1, 64):
+                        val = int(blk[k])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ac_syms.add(0xF0)
+                            toks.append(("ac", 0xF0, 0))
+                            run -= 16
+                        sz = _size_cat(val)
+                        sym = (run << 4) | sz
+                        ac_syms.add(sym)
+                        toks.append(("ac", sym, val))
+                        run = 0
+                    if run:
+                        ac_syms.add(0x00)
+                        toks.append(("ac", 0x00, 0))
+                    tokens.append(toks)
+
+    dc_bits, dc_vals, dc_codes = _flat_huff(dc_syms)
+    ac_bits, ac_vals, ac_codes = _flat_huff(ac_syms)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtab))
+    nf = len(comps_px)
+    sof = struct.pack(">BHHB", 8, height, width, nf)
+    for ci, (h, v) in enumerate(sampling):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    # pass 2: emit bits
+    w = _BitWriter()
+    blocks_per_mcu = sum(h * v for h, v in sampling)
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.pad_to_byte()
+            out += w.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            w = _BitWriter()
+        for toks in tokens[mcu * blocks_per_mcu : (mcu + 1) * blocks_per_mcu]:
+            for kind, sym, val in toks:
+                code, length = (dc_codes if kind == "dc" else ac_codes)[sym]
+                w.write(code, length)
+                s = sym & 0x0F if kind == "ac" else sym
+                if kind == "dc":
+                    s = sym
+                if s:
+                    w.write(val if val > 0 else val + (1 << s) - 1, s)
+    w.pad_to_byte()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _np_argsort_zz() -> np.ndarray:
+    """Permutation taking a natural-order 64-vector into zigzag order."""
+    return _ZZ
+
+
+def _mean_pool2(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = h + (h & 1), w + (w & 1)
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))

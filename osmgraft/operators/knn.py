@@ -251,7 +251,7 @@ def knn_candidates(
     left_cols: tuple[str, str] = ("lat", "lon"),
     right_cols: tuple[str, str] = ("lat", "lon"),
     probe_k: int = 3,
-    skew_max_rows: int | None = None,
+    skew_max_rows: int | None | str = "auto",
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_m`` — cell-pruned equi-join +
     exact haversine filter. Right columns arrive suffixed with ``_r``.
@@ -264,6 +264,9 @@ def knn_candidates(
     pinning one. Best-effort past ``hot_cell_map``'s 64-salt replication
     cap: a cell beyond ``64 * skew_max_rows`` rows splits 64 ways
     proportionally (see :func:`osmgraft.operators.skew.hot_cell_map`).
+    The default ``"auto"`` derives the bound from AQE's advisory
+    partition size (:func:`osmgraft.operators.skew.auto_skew_bound`), so
+    the rail is on unless explicitly disabled with ``None``.
 
     With ``res=None`` (default) the resolution is latitude-banded and the
     whole search — all bands, antimeridian replicas, and polar caps — is
@@ -303,6 +306,10 @@ def knn_candidates(
         .where(F.col("_cell_r") != -1)
     )
 
+    if skew_max_rows == "auto":
+        from osmgraft.operators.skew import auto_skew_bound
+
+        skew_max_rows = auto_skew_bound(left.sparkSession)
     if skew_max_rows:
         from osmgraft.operators.skew import hot_cell_map, replicate_cells, salt_cells
 
@@ -507,13 +514,14 @@ def dedup_labels(
     if materialize:
         slim = slim.localCheckpoint(eager=True)
 
+    # count on the checkpointed frame is ~free and feeds both gates below;
+    # an unmaterialized frame would re-run the producing pipeline just to
+    # count it, so the row gate defers to the skew gate inside _dedup_frames
+    n_rows = slim.count() if materialize else None
+
     use_prepass = prepass and res is None
-    if use_prepass and prepass_min_rows > 0:
-        # only ~free when the slim frame is checkpointed; an unmaterialized
-        # frame would re-run the producing pipeline just to count it, so the
-        # row gate defers to the skew gate inside _dedup_frames there
-        if materialize and slim.count() < prepass_min_rows:
-            use_prepass = False
+    if use_prepass and prepass_min_rows > 0 and n_rows is not None:
+        use_prepass = n_rows >= prepass_min_rows
 
     if use_prepass:
         fr = _dedup_frames(
@@ -521,7 +529,17 @@ def dedup_labels(
         )
         suppressed = fr["suppressed"]
     else:
-        pairs = knn_candidates(slim, slim, radius_m, res=res, probe_k=probe_k)
+        # the salting rail can't trigger when total rows <= its auto bound
+        # (no cell can exceed the bound), so skip its count pre-pass too
+        skew: int | None | str = "auto"
+        if n_rows is not None:
+            from osmgraft.operators.skew import auto_skew_bound
+
+            if n_rows <= auto_skew_bound(slim.sparkSession):
+                skew = None
+        pairs = knn_candidates(
+            slim, slim, radius_m, res=res, probe_k=probe_k, skew_max_rows=skew
+        )
         suppressed = (
             pairs.where(
                 (F.col(f"{rank_col}_r") < F.col(rank_col))

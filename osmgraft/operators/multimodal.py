@@ -305,18 +305,28 @@ def image_features(img: np.ndarray, n_hist: int = 59) -> np.ndarray:
     return np.concatenate([head, hist / gray.size]).astype(np.float32)
 
 
+_JPEG_MIMES = ("image/jpeg", "image/jpg")
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
     """Default codec for the ``extract_features`` seam.
 
     REAL stdlib decoders: ``audio/wav`` (RIFF parse ->
     :func:`wav_features`), ``image/png`` (8-bit gray/RGB/RGBA, all five
-    filters) and binary PNM P5/P6 -> :func:`image_features`. Other mimes
-    (JPEG, video) raise so nothing silently trains on fake pixels — real
-    deployments plug Pillow/ffmpeg in via the ``codec=`` parameter."""
+    filters), ``image/jpeg`` (baseline sequential Huffman — see
+    :mod:`osmgraft.operators.jpegcodec`) and binary PNM P5/P6 ->
+    :func:`image_features`. Video (and anything outside each decoder's
+    envelope, e.g. progressive JPEG or palette PNG) raises so nothing
+    silently trains on fake pixels — real deployments plug Pillow/ffmpeg
+    in via the ``codec=`` parameter."""
     if mime in _WAV_MIMES:
         return wav_features(*decode_wav(payload))
     if mime in _PNG_MIMES:
         return image_features(decode_png(payload))
+    if mime in _JPEG_MIMES:
+        from osmgraft.operators.jpegcodec import decode_jpeg
+
+        return image_features(decode_jpeg(payload))
     if mime in _PNM_MIMES:
         return image_features(decode_pnm(payload))
     raise NotImplementedError(
@@ -437,6 +447,32 @@ def png_decode_meta(media: DataFrame) -> DataFrame:
             mid, ws, hs, sums = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_png(bytes(payload))
+                mid.append(int(media_id))
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": mid, "width": ws, "height": hs, "px_sum": sums})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=_PNG_META_SCHEMA)
+
+
+def jpeg_decode_meta(media: DataFrame) -> DataFrame:
+    """Decode baseline-JPEG payloads at scale: (media_id, width, height,
+    px_sum) derived from the BYTES by
+    :func:`osmgraft.operators.jpegcodec.decode_jpeg` — Huffman entropy
+    decode + dequant + IDCT + color transform included, so ``px_sum``
+    proves the full pixel path. The DuckDB oracle replays staged
+    side-channel columns computed by the SAME decoder at staging time
+    (lossy format: the oracle can't re-derive pixels arithmetically like
+    WAV, so the pinned contract is decode determinism + the staged
+    ground truth from an independent in-process decode)."""
+    from osmgraft.operators.jpegcodec import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, ws, hs, sums = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(payload))
                 mid.append(int(media_id))
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])

@@ -258,7 +258,7 @@ def pip_join(
     broadcast_threshold: int = 10_000,
     how: str = "inner",
     max_cover_cells: int = 128,
-    skew_max_rows: int | None = None,
+    skew_max_rows: int | None | str = "auto",
 ) -> DataFrame:
     """points x polygons -> one row per (point, containing polygon).
 
@@ -274,7 +274,10 @@ def pip_join(
     a count pre-pass finds cells over the bound, point rows in them are
     salted (pure row hash of lat/lon) and the polygon's covering rows
     replicate once per salt bucket — same join output (tested), reduce
-    side bounded at ~``skew_max_rows`` rows per task. This is the
+    side bounded at ~``skew_max_rows`` rows per task. The default
+    ``"auto"`` derives the bound from AQE's advisory partition size
+    (:func:`osmgraft.operators.skew.auto_skew_bound`), so the rail is on
+    unless explicitly disabled with ``None``. This is the
     adaptive-cell-split rail applied at the join key (hex cells don't
     nest across resolutions, so splitting by salt preserves the covering
     contract where re-encoding finer could not). The bound is best-effort
@@ -315,6 +318,10 @@ def pip_join(
             "_cell", F.explode(_point_cells_udf(res)(F.col(lat), F.col(lon)))
         )
         join_key = ["_cell"]
+        if skew_max_rows == "auto":
+            from osmgraft.operators.skew import auto_skew_bound
+
+            skew_max_rows = auto_skew_bound(points.sparkSession)
         if skew_max_rows:
             from osmgraft.operators.skew import hot_cell_map, replicate_cells, salt_cells
 

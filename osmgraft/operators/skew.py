@@ -23,6 +23,38 @@ from pyspark.sql import functions as F
 from osmgraft.functions.cells import hex_cell_udf
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Spark size-string parser ('64m', '64MB', '67108864', '1g')."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix in ("kb", "mb", "gb", "tb", "pb", "k", "m", "g", "t", "p", "b"):
+        if s.endswith(suffix):
+            mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40, "p": 2**50, "b": 1}[
+                suffix[0]
+            ]
+            s = s[: -len(suffix)]
+            break
+    return int(float(s) * mult)
+
+
+def auto_skew_bound(spark, row_bytes: int = 48) -> int:
+    """Default per-cell row bound for the spatial-join skew rails, derived
+    from AQE's advisory partition size: a cell whose candidate rows exceed
+    roughly one advisory partition's worth (``advisory_bytes /
+    row_bytes``; 48 B ~ a slim (id, rank, lat, lon, cell) shuffle row)
+    would pin a reduce task past the size AQE itself plans around, so
+    that is where salting starts. Floor of 100k keeps the rail out of the
+    way on toy inputs. This makes the rails ON BY DEFAULT in
+    ``pip_join``/``knn_candidates`` — a deployment hits a Tokyo-density
+    cell safely without knowing the knob exists — at the cost of one
+    map-side-combined count pre-pass per join."""
+    try:
+        adv = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    except Exception:
+        adv = None
+    return max(_parse_size_bytes(adv or "64m") // row_bytes, 100_000)
+
+
 def salt(
     df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt", id_col: str | None = None
 ) -> DataFrame:

@@ -304,3 +304,65 @@ def test_render_ttf_atlas_glyph_faithful(tmp_path):
     assert not np.array_equal(cells["d"], cells["s"])
     # composite = square shifted (within the cell crop)
     assert m.advance("s") == 13
+
+
+def test_gpos_only_kerning_roundtrip(tmp_path):
+    """A font with kerning ONLY in GPOS PairPos must round-trip nonzero
+    kerning through metrics_from_ttf (round-4 gap: modern fonts carry
+    kerning exclusively in GPOS, and the parser yielded empty kerning for
+    them). All three layouts: format 1, class-based format 2, and a
+    type-9 Extension-wrapped lookup."""
+    from osmgraft.functions.ttf import metrics_from_ttf, parse_ttf
+
+    advs = {"A": 1200, "V": 1180, "o": 900, "T": 1100}
+    pairs = {("A", "V"): -160, ("V", "A"): -140, ("T", "o"): -90}
+    for fmt, ext in [(1, False), (2, False), (1, True), (2, True)]:
+        path = str(tmp_path / f"gpos_{fmt}_{ext}.ttf")
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_ttf(advs, units_per_em=2048, gpos_kerning=pairs,
+                           gpos_fmt=fmt, gpos_extension=ext)
+            )
+        f = parse_ttf(path)
+        assert not f.kern  # no legacy kern table
+        chars = sorted(advs)
+        gid = {c: f.glyph_id(c) for c in chars}
+        for (a, b), v in pairs.items():
+            assert f.kern_units(gid[a], gid[b]) == v, (fmt, ext, a, b)
+        # unkerned pairs stay 0 (incl. class-0 fallthrough in format 2)
+        assert f.kern_units(gid["o"], gid["T"]) == 0
+        m = metrics_from_ttf(path, "AVoT", pt=12.0)
+        assert m.kerning.get(("A", "V")) == math.ceil(-160 * 12 * 96 / 72 / 2048)
+        assert ("o", "T") not in m.kerning
+
+
+def test_legacy_kern_wins_over_gpos(tmp_path):
+    """FreeType serves the legacy kern table when both exist; the parser
+    must do the same (ref font.cpp:100-122 via FT_Get_Kerning)."""
+    from osmgraft.functions.ttf import parse_ttf
+
+    advs = {"A": 1200, "V": 1180}
+    path = str(tmp_path / "both.ttf")
+    with open(path, "wb") as fh:
+        fh.write(
+            encode_ttf(advs, kerning={("A", "V"): -50}, units_per_em=2048,
+                       gpos_kerning={("A", "V"): -999, ("V", "A"): -77})
+        )
+    f = parse_ttf(path)
+    a, v = f.glyph_id("A"), f.glyph_id("V")
+    assert f.kern_units(a, v) == -50      # kern shadows GPOS
+    assert f.kern_units(v, a) == -77      # GPOS fills the gaps
+
+
+def test_malformed_repeat_flag_raises(tmp_path):
+    """A glyph whose REPEAT flag overruns the point count must fail
+    cleanly instead of silently misaligning coordinate reads."""
+    import struct as _s
+
+    from osmgraft.functions.ttf import _parse_simple_glyph
+
+    # one contour of 3 points; flags: first byte repeats 200 times
+    hdr = _s.pack(">hhhhh", 1, 0, 0, 100, 100) + _s.pack(">HH", 2, 0)
+    data = hdr + bytes([0x09, 200])  # on-curve | REPEAT, count 200
+    with pytest.raises(ValueError, match="REPEAT"):
+        _parse_simple_glyph(data, 0, 1)

@@ -58,6 +58,84 @@ def _kern_fmt0(gid_pairs: dict[tuple[int, int], int]) -> bytes:
     return struct.pack(">HH", 0, 1) + sub
 
 
+def _gpos_pairpos(
+    gid_pairs: dict[tuple[int, int], int],
+    fmt: int = 1,
+    extension: bool = False,
+) -> bytes:
+    """GPOS with one PairPos lookup carrying XAdvance-on-first kerning.
+    ``fmt=1`` emits per-pair sets; ``fmt=2`` a class matrix where every
+    distinct left/right glyph gets its own class (class 0 = everything
+    else). ``extension=True`` wraps the subtable in a type-9 Extension
+    lookup. Layouts follow the public OpenType specification."""
+    lefts = sorted({l for l, _ in gid_pairs})
+    vf1, vf2 = 0x0004, 0x0000  # XAdvance on first glyph only
+
+    def coverage(glyphs: list[int]) -> bytes:
+        return struct.pack(f">HH{len(glyphs)}H", 1, len(glyphs), *glyphs)
+
+    if fmt == 1:
+        # subtable: header, pairset offsets, coverage, pairsets
+        n_sets = len(lefts)
+        header_len = 10 + 2 * n_sets
+        sets = []
+        for l in lefts:
+            rights = sorted(r for (ll, r) in gid_pairs if ll == l)
+            body = struct.pack(">H", len(rights))
+            for r in rights:
+                body += struct.pack(">Hh", r, gid_pairs[(l, r)])
+            sets.append(body)
+        cov = coverage(lefts)
+        cov_off = header_len
+        set_offs = []
+        pos = cov_off + len(cov)
+        for s in sets:
+            set_offs.append(pos)
+            pos += len(s)
+        sub = struct.pack(">HHHHH", 1, cov_off, vf1, vf2, n_sets)
+        sub += struct.pack(f">{n_sets}H", *set_offs)
+        sub += cov + b"".join(sets)
+    else:
+        rights = sorted({r for _, r in gid_pairs})
+        lcls = {g: i + 1 for i, g in enumerate(lefts)}
+        rcls = {g: i + 1 for i, g in enumerate(rights)}
+        c1n, c2n = len(lefts) + 1, len(rights) + 1
+
+        def classdef(cls_map: dict[int, int]) -> bytes:
+            out = struct.pack(">HH", 2, len(cls_map))
+            for g in sorted(cls_map):
+                out += struct.pack(">HHH", g, g, cls_map[g])
+            return out
+
+        matrix = b""
+        for i in range(c1n):
+            for j in range(c2n):
+                l = lefts[i - 1] if i else -1
+                r = rights[j - 1] if j else -1
+                matrix += struct.pack(">h", gid_pairs.get((l, r), 0))
+        cov = coverage(lefts)
+        cd1, cd2 = classdef(lcls), classdef(rcls)
+        head_len = 16
+        cov_off = head_len + len(matrix)
+        cd1_off = cov_off + len(cov)
+        cd2_off = cd1_off + len(cd1)
+        sub = struct.pack(
+            ">HHHHHHHH", 2, cov_off, vf1, vf2, cd1_off, cd2_off, c1n, c2n
+        )
+        sub += matrix + cov + cd1 + cd2
+
+    if extension:
+        ext = struct.pack(">HHI", 1, 2, 8) + sub
+        lookup = struct.pack(">HHHH", 9, 0, 1, 8) + ext
+    else:
+        lookup = struct.pack(">HHHH", 2, 0, 1, 8) + sub
+    lookup_list = struct.pack(">HH", 1, 4) + lookup
+    # GPOS header: version 1.0; script/feature lists point at empty stubs
+    # placed after the lookup list (offset 0 would mean "absent" ambiguity)
+    header = struct.pack(">IHHH", 0x00010000, 10, 10, 10)
+    return header + lookup_list
+
+
 def _encode_simple_glyph(contours) -> bytes:
     xs = [p[0] for c in contours for p in c]
     ys = [p[1] for c in contours for p in c]
@@ -98,6 +176,9 @@ def encode_ttf(
     ascender: int = 1900,
     descender: int = -500,
     outlines: dict | None = None,
+    gpos_kerning: dict[tuple[str, str], int] | None = None,
+    gpos_fmt: int = 1,
+    gpos_extension: bool = False,
 ) -> bytes:
     """Build a TTF: glyph ids 1..n in sorted-codepoint order, glyph 0 =
     .notdef. Advances/kerning are in font units. ``outlines`` maps char ->
@@ -147,6 +228,12 @@ def encode_ttf(
     if kerning:
         tables["kern"] = _kern_fmt0(
             {(gids[a], gids[b]): v for (a, b), v in kerning.items()}
+        )
+    if gpos_kerning:
+        tables["GPOS"] = _gpos_pairpos(
+            {(gids[a], gids[b]): v for (a, b), v in gpos_kerning.items()},
+            fmt=gpos_fmt,
+            extension=gpos_extension,
         )
 
     tags = sorted(tables)
