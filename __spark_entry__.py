@@ -141,6 +141,53 @@ def _stage_wav_oracle(n: int = 150) -> str:
     return _WAV_ORACLE_PATH
 
 
+_MP4_ORACLE_PATH = "/tmp/osmgraft_mp4_oracle.parquet"
+
+
+def _stage_mp4_oracle(n: int = 120) -> str:
+    """Deterministic VALID ISO-BMFF payloads (ftyp+moov/mvhd+trak/tkhd,
+    mixed timescales) staged without Spark. duration/w/h/n_tracks are the
+    oracle's side-channel; the Spark side must recover all four from the
+    BYTES via the struct-only box walk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmgraft.operators.multimodal import encode_mp4_stub
+
+    if os.path.exists(_MP4_ORACLE_PATH):
+        return _MP4_ORACLE_PATH
+
+    ids, durs, ws, hs, payloads = [], [], [], [], []
+    for i in range(n):
+        dur = 500 + (i * 977) % 60_000
+        w = 16 * (1 + (i * 3) % 120)
+        h = 16 * (1 + (i * 5) % 68)
+        ts = (1000, 90_000, 600, 25_000)[i % 4]
+        # writer quantizes duration to the timescale; record the value the
+        # parser can actually recover (floor twice, like the parser does)
+        dur_q = (dur * ts // 1000) * 1000 // ts
+        ids.append(i)
+        durs.append(dur_q)
+        ws.append(w)
+        hs.append(h)
+        payloads.append(encode_mp4_stub(dur, w, h, timescale=ts))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dur_ms": pa.array(durs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        _MP4_ORACLE_PATH,
+    )
+    return _MP4_ORACLE_PATH
+
+
 _JPEG_ORACLE_PATH = "/tmp/osmgraft_jpeg_oracle.parquet"
 
 
@@ -966,6 +1013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_jpeg_oracle()).select("media_id", "payload")
         return jpeg_decode_meta(media)
 
+    def q_mp4_decode(spark, sf):
+        # the real ISO-BMFF box walk: duration/geometry/track count
+        # recovered from the payload BYTES (media_id + payload only)
+        from osmgraft.operators.multimodal import mp4_decode_meta
+
+        media = spark.read.parquet(_stage_mp4_oracle()).select("media_id", "payload")
+        return mp4_decode_meta(media)
+
     def q_hex_cells(spark, sf):
         from osmgraft.functions.cells import hex_cell_udf
 
@@ -1050,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode": q_wav_decode,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
+        "mp4_decode": q_mp4_decode,
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
@@ -1343,6 +1399,13 @@ def oracle_sql() -> dict[str, str]:
             # reproduce it from the JPEG bytes (Huffman + IDCT + YCbCr)
             f"select media_id, w as width, h as height, px_sum "
             f"from read_parquet('{_stage_jpeg_oracle()}')"
+        ),
+        "mp4_decode": (
+            # staged side-channel timing/geometry; the Spark side must
+            # reproduce them from the ISO-BMFF bytes (box walk)
+            f"select media_id, dur_ms as duration_ms, w as width, "
+            f"h as height, cast(1 as bigint) as n_tracks "
+            f"from read_parquet('{_stage_mp4_oracle()}')"
         ),
         "dedup_labels_pts": (
             f"with p as ({_PTS_SQL}) "

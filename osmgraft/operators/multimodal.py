@@ -482,6 +482,150 @@ def jpeg_decode_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_PNG_META_SCHEMA)
 
 
+def parse_mp4_meta(payload: bytes, max_boxes: int = 10_000) -> dict:
+    """ISO-BMFF (MP4/MOV) metadata from BYTES: struct-only box walk of
+    ``ftyp``/``moov``/``mvhd`` (timescale + duration) and ``trak/tkhd``
+    (16.16 fixed-point presentation width/height; the first visual track
+    — nonzero width — wins). Returns ``{duration_ms, timescale, width,
+    height, n_tracks, brand}``. Frame DECODE still raises through
+    :func:`decode_media` (no stdlib video codec — honest seam); this makes
+    the video *metadata* column real, so :func:`sample_frames` plans can
+    run against byte-derived durations instead of trusted side-channel
+    metadata. Untrusted-bytes contract: bounded box count, no allocation
+    proportional to claimed sizes."""
+    n = len(payload)
+
+    def walk(start: int, end: int, depth: int, budget: list[int]):
+        pos = start
+        while pos + 8 <= end:
+            if budget[0] <= 0:
+                raise ValueError("MP4 box count exceeds bound")
+            budget[0] -= 1
+            (size,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError(f"MP4 box {tag!r} overruns its container")
+            yield tag, body, pos + size, depth
+            if tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl") and depth < 8:
+                yield from walk(body, pos + size, depth + 1, budget)
+            pos += size
+
+    if n < 8:
+        raise ValueError("not an MP4 payload (too short)")
+    brand = None
+    timescale = duration = None
+    width = height = None
+    n_tracks = 0
+    budget = [max_boxes]
+    for tag, body, box_end, _depth in walk(0, n, 0, budget):
+        if tag == b"ftyp":
+            brand = payload[body : body + 4].decode("ascii", "replace")
+        elif tag == b"mvhd":
+            ver = payload[body]
+            if ver == 1:
+                timescale, duration = struct.unpack_from(">IQ", payload, body + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", payload, body + 12)
+        elif tag == b"trak":
+            n_tracks += 1
+        elif tag == b"tkhd" and width is None:
+            ver = payload[body]
+            geo = body + (96 - 8 if ver == 1 else 84 - 8)  # width offset in box
+            w16, h16 = struct.unpack_from(">II", payload, geo)
+            if w16:
+                width, height = w16 >> 16, h16 >> 16
+    if brand is None or timescale is None:
+        raise ValueError("MP4 missing ftyp/mvhd")
+    if timescale == 0:
+        raise ValueError("MP4 mvhd timescale is zero")
+    return {
+        "duration_ms": duration * 1000 // timescale,
+        "timescale": timescale,
+        "width": width,
+        "height": height,
+        "n_tracks": n_tracks,
+        "brand": brand,
+    }
+
+
+def encode_mp4_stub(
+    duration_ms: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Minimal valid ISO-BMFF writer (test/synth counterpart of
+    :func:`parse_mp4_meta`): ftyp + moov(mvhd + trak(tkhd)) + empty mdat.
+    Carries real timing/geometry metadata and no media samples."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version/flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+_MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_tracks", LongType()),
+    ]
+)
+
+
+def mp4_decode_meta(media: DataFrame) -> DataFrame:
+    """Parse MP4 container metadata at scale: (media_id, duration_ms,
+    width, height, n_tracks), all derived from the BYTES by
+    :func:`parse_mp4_meta`. Arrow-batched ``mapInPandas`` — the video
+    counterpart of :func:`wav_decode_meta`/:func:`png_decode_meta`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in _MP4_META_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = parse_mp4_meta(bytes(payload))
+                rows["media_id"].append(int(media_id))
+                rows["duration_ms"].append(int(meta["duration_ms"]))
+                rows["width"].append(int(meta["width"] or 0))
+                rows["height"].append(int(meta["height"] or 0))
+                rows["n_tracks"].append(int(meta["n_tracks"]))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=_MP4_META_SCHEMA)
+
+
 _FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

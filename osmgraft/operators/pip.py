@@ -259,6 +259,7 @@ def pip_join(
     how: str = "inner",
     max_cover_cells: int = 128,
     skew_max_rows: int | None | str = "auto",
+    id_col: str | None = None,
 ) -> DataFrame:
     """points x polygons -> one row per (point, containing polygon).
 
@@ -284,6 +285,11 @@ def pip_join(
     past ``hot_cell_map``'s replication cap (64 salts): a cell with more
     than ``64 * skew_max_rows`` rows splits 64 ways proportionally — see
     :func:`osmgraft.operators.skew.hot_cell_map`.
+
+    ``how='left'`` keeps points with no containing polygon (NULL
+    poly_id/poly_name). Pass ``id_col`` (any unique row id) to make the
+    keep-misses re-join correct under duplicate coordinates; without it
+    the re-join keys on all point columns and REQUIRES distinct rows.
     """
     lat, lon = point_cols
     polys = _poly_with_bbox(polygons)
@@ -349,5 +355,13 @@ def pip_join(
     # at most once, through the polygon's own level
     result = hit.select(*out_cols)
     if how == "left":
-        result = points.join(result.select(*points.columns, "poly_id", "poly_name"), points.columns, "left")
+        # keep-misses variant: re-attach points with no containing polygon.
+        # Join key: `id_col` when given (correct under duplicate
+        # coordinates — any unique row id); otherwise all point columns,
+        # which REQUIRES distinct point rows (duplicates would fan out:
+        # each copy would match every copy's hits). The inner path above
+        # has no such precondition.
+        key = [id_col] if id_col else points.columns
+        slim = result.select(*key, "poly_id", "poly_name")
+        result = points.join(slim, key, "left")
     return result

@@ -279,6 +279,27 @@ def test_pip_kernel_empty_ring_guard(spark):
     assert got == [False, True, False, False]
 
 
+def test_pip_join_left_with_duplicate_coordinates(spark):
+    """how='left' + id_col: duplicate (lat, lon) rows with distinct ids
+    must NOT fan out (the all-column re-join would pair every duplicate
+    with every duplicate's hits), and misses keep NULL polygon columns."""
+    from osmgraft.operators.pip import pip_join
+
+    polys = spark.createDataFrame(
+        [(1, [0.0, 10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 10.0, 0.0])],
+        "poly_id long, ring_lats array<double>, ring_lons array<double>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 5.0, 5.0), (3, 50.0, 50.0)],
+        "pid long, lat double, lon double",
+    )
+    out = sorted(
+        (r["pid"], r["poly_id"])
+        for r in pip_join(pts, polys, how="left", id_col="pid").collect()
+    )
+    assert out == [(1, 1), (2, 1), (3, None)]
+
+
 def test_dedup_labels_matches_bruteforce(spark):
     from osmgraft.operators.knn import dedup_labels, EARTH_RADIUS_M
 
