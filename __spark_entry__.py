@@ -250,6 +250,89 @@ def _stage_jpeg_oracle(n: int = 120) -> str:
     return _JPEG_ORACLE_PATH
 
 
+_AVI_ORACLE_PATH = "/tmp/osmgraft_avi_oracle.parquet"
+_AVI_TRUTH_PATH = "/tmp/osmgraft_avi_truth.parquet"
+_AVI_FPS_OUT = 2.0
+
+
+def _stage_avi_oracle(n: int = 40) -> tuple[str, str]:
+    """Deterministic VALID MJPEG-AVI payloads (mixed fps/geometry/frame
+    counts, gray + RGB frames) staged without Spark, plus the per-sampled-
+    frame ground truth (media_id, frame_idx, frame_ms, w, h, px_sum)
+    produced by decoding each payload ONCE at staging time with the same
+    container walk + JPEG decode. The Spark query must reproduce every
+    sampled frame's pixels from the BYTES on executors — hash match
+    proves the distributed frame-sampling kernel decodes byte-identically
+    to the staging decode."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmgraft.operators.jpegcodec import decode_jpeg
+    from osmgraft.operators.multimodal import encode_avi_mjpeg, parse_avi_mjpeg
+
+    if os.path.exists(_AVI_ORACLE_PATH) and os.path.exists(_AVI_TRUTH_PATH):
+        return _AVI_ORACLE_PATH, _AVI_TRUTH_PATH
+
+    ids, payloads = [], []
+    t_id, t_idx, t_ms, t_w, t_h, t_sum = [], [], [], [], [], []
+    for i in range(n):
+        w = 16 + (i * 9) % 48
+        h = 16 + (i * 5) % 32
+        fps = (5.0, 10.0, 24.0, 30.0)[i % 4]
+        n_frames = 4 + (i * 7) % 60
+        frames = []
+        for k in range(n_frames):
+            y, x = np.mgrid[0:h, 0:w]
+            base = ((x * 4 + y * 6 + k * 13 + i) % 256).astype(np.uint8)
+            if i % 2:
+                frames.append(np.stack([base, base[::-1], np.roll(base, k, axis=1)], axis=2))
+            else:
+                frames.append(base)
+        payload = encode_avi_mjpeg(frames, fps=fps, quality=88 + (i % 13))
+        ids.append(i)
+        payloads.append(payload)
+        # ground truth: same sampling rule as decode_video_frames
+        meta = parse_avi_mjpeg(payload)
+        dur_ms = meta["n_frames"] * meta["us_per_frame"] / 1000.0
+        for k in range(max(int(dur_ms / 1000.0 * _AVI_FPS_OUT), 1)):
+            frame_ms = int(k * 1000.0 / _AVI_FPS_OUT)
+            src = min(int(frame_ms * 1000 / meta["us_per_frame"]), len(meta["frames"]) - 1)
+            off, size = meta["frames"][src]
+            img = decode_jpeg(payload[off : off + size])
+            t_id.append(i)
+            t_idx.append(k)
+            t_ms.append(frame_ms)
+            t_w.append(img.shape[1])
+            t_h.append(img.shape[0])
+            t_sum.append(int(img.astype(np.int64).sum()))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        _AVI_ORACLE_PATH,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(t_id, pa.int64()),
+                "frame_idx": pa.array(t_idx, pa.int32()),
+                "frame_ms": pa.array(t_ms, pa.int32()),
+                "w": pa.array(t_w, pa.int32()),
+                "h": pa.array(t_h, pa.int32()),
+                "px_sum": pa.array(t_sum, pa.int64()),
+            }
+        ),
+        _AVI_TRUTH_PATH,
+    )
+    return _AVI_ORACLE_PATH, _AVI_TRUTH_PATH
+
+
 _PNG_ORACLE_PATH = "/tmp/osmgraft_png_oracle.parquet"
 
 
@@ -1021,6 +1104,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = spark.read.parquet(_stage_mp4_oracle()).select("media_id", "payload")
         return mp4_decode_meta(media)
 
+    def q_avi_frames(spark, sf):
+        # REAL video frame decode: sample frames at 2 fps from MJPEG-AVI
+        # payloads and recover every sampled frame's geometry + pixel sum
+        # from the BYTES (RIFF walk + baseline JPEG decode per frame)
+        from osmgraft.operators.multimodal import decode_video_frames
+
+        payload_path, _ = _stage_avi_oracle()
+        media = spark.read.parquet(payload_path).select("media_id", "payload")
+        return decode_video_frames(media, fps_out=_AVI_FPS_OUT)
+
     def q_hex_cells(spark, sf):
         from osmgraft.functions.cells import hex_cell_udf
 
@@ -1106,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "mp4_decode": q_mp4_decode,
+        "avi_frames": q_avi_frames,
         "dedup_labels_pts": q_dedup_labels_pts,
         "hex_cells": q_hex_cells,
         "adaptive_cells_pts": q_adaptive_cells_pts,
@@ -1406,6 +1500,14 @@ def oracle_sql() -> dict[str, str]:
             f"select media_id, dur_ms as duration_ms, w as width, "
             f"h as height, cast(1 as bigint) as n_tracks "
             f"from read_parquet('{_stage_mp4_oracle()}')"
+        ),
+        "avi_frames": (
+            # staging-time frame decode ground truth; the Spark side must
+            # reproduce every sampled frame's pixels from the AVI bytes
+            # (container walk + per-frame JPEG decode)
+            f"select media_id, frame_idx, frame_ms, w as width, "
+            f"h as height, px_sum "
+            f"from read_parquet('{_stage_avi_oracle()[1]}')"
         ),
         "dedup_labels_pts": (
             f"with p as ({_PTS_SQL}) "
