@@ -173,14 +173,16 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return img.reshape(h, w, 3) if channels == 3 else img.reshape(h, w)
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Invert PNG scanline filtering (types 0-4 per the PNG spec),
-    numpy-vectorized: None/Up are whole-row ops; Sub is a per-channel
-    prefix sum mod 256 (cumsum — modular addition distributes over the
-    running sum); Average/Paeth carry a true left-pixel recurrence, so they
-    loop over *columns* with all channels as one vector step (a further
-    ``bpp`` x over per-sample Python, and no per-element int boxing)."""
-    stride = width * channels
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filtering (types 0-4 per the PNG spec) over a
+    generic byte layout — ``stride`` filtered bytes per row, ``bpp``
+    bytes per pixel for the left-neighbor distance (1 for sub-byte
+    depths, channels x depth/8 otherwise). Numpy-vectorized: None/Up are
+    whole-row ops; Sub is a per-channel prefix sum mod 256 (cumsum —
+    modular addition distributes over the running sum); Average/Paeth
+    carry a true left-pixel recurrence, so they loop over *columns* with
+    all channels as one vector step. Returns ``(height, stride)``
+    uint8."""
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -189,7 +191,6 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
     if bad.size:
         raise ValueError(f"PNG filter type {int(bad[0])} invalid")
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
         f = int(ftypes[y])
@@ -200,7 +201,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
             rec = line + prior
         elif f == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] == channel cumsum mod 256
             rec = (
-                (np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64) & 0xFF)
+                (np.cumsum(line.reshape(stride // bpp, bpp), axis=0, dtype=np.int64) & 0xFF)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -229,24 +230,37 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndar
             rec = np.frombuffer(bytes(res), dtype=np.uint8)
         out[y] = rec
         prior = out[y]
-    return out.reshape(height, width, channels) if channels > 1 else out.reshape(height, width)
+    return out
 
 
 _PNG_MAX_SAMPLES = 64_000_000  # width*height*channels cap (~64 MP gray / 16 MP RGBA)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
 def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarray:
-    """Stdlib-only PNG decoder (struct + zlib + numpy): 8-bit depth,
-    grayscale (color 0) -> HxW, RGB (color 2) -> HxWx3, RGBA (color 6) ->
-    HxWx4; all five scanline filters; non-interlaced only. Palette/16-bit/
-    Adam7 raise — this is the training-pipeline thumbnail path, not a
-    general renderer (those payloads route to an injected Pillow codec).
+    """Stdlib-only PNG decoder (struct + zlib + numpy), all five scanline
+    filters, non-interlaced:
+
+    - depth 8/16, color 0/2/4/6: gray -> HxW, gray+alpha -> HxWx2,
+      RGB -> HxWx3, RGBA -> HxWx4 (16-bit downconverts to uint8 via the
+      high byte — the thumbnail/training path, same as Pillow's L/RGB
+      modes);
+    - depth 1/2/4 gray (color 0): bit-unpacked, scaled to full range
+      (``v * 255 / (2^d - 1)``);
+    - depth 1/2/4/8 palette (color 3): PLTE lookup -> HxWx3, or HxWx4
+      when a tRNS chunk carries per-entry alpha.
+
+    Adam7 interlace raises — that payload routes to an injected Pillow
+    codec via the ``codec=`` seam, not a silent fake.
 
     Payloads are untrusted bytes by this module's contract, so the decoder
     is bomb-safe: IHDR geometry is capped at ``max_samples`` BEFORE any
-    inflate, and the inflate itself runs through ``decompressobj`` with a
-    ``max_length`` bound — a tiny deflate bomb claiming a huge canvas can
-    never allocate past the declared (capped) scanline size."""
+    inflate, the inflate runs through ``decompressobj`` with a
+    ``max_length`` bound, and palette indices are range-checked — a tiny
+    deflate bomb claiming a huge canvas can never allocate past the
+    declared (capped) scanline size."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -254,6 +268,7 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
     width = height = 0
     color = depth = interlace = None
     idat = b""
+    plte = trns = None
     pos = 8
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -263,6 +278,10 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -270,25 +289,65 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
         pos += 12 + ln
     if depth is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+    ok_shape = (
+        (depth in (8, 16) and color in (0, 2, 4, 6))
+        or (depth in (1, 2, 4) and color in (0, 3))
+        or (depth == 8 and color == 3)
+    )
+    if not ok_shape or interlace != 0:
         raise ValueError(
             f"unsupported PNG shape: depth={depth} color={color} interlace={interlace} "
-            "(8-bit gray/RGB/RGBA, non-interlaced only)"
+            "(gray/RGB/RGBA/gray-alpha at 8/16-bit, gray/palette at 1/2/4-bit, "
+            "non-interlaced only)"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if width < 1 or height < 1:
         raise ValueError(f"bad PNG geometry {width}x{height}")
-    channels = {0: 1, 2: 3, 6: 4}[color]
-    if width * height * channels > max_samples:
+    channels = _PNG_CHANNELS[color]
+    out_channels = (4 if trns is not None else 3) if color == 3 else channels
+    if width * height * out_channels > max_samples:
         raise ValueError(
-            f"PNG geometry {width}x{height}x{channels} exceeds max_samples={max_samples}"
+            f"PNG geometry {width}x{height}x{out_channels} exceeds max_samples={max_samples}"
         )
-    expected = height * (width * channels + 1)
+    stride = (width * channels * depth + 7) // 8  # filtered bytes per row
+    bpp = max(1, channels * depth // 8)  # filter left-neighbor distance
+    expected = height * (stride + 1)
     # bounded inflate: ask for exactly one byte more than the scanline
     # stream; a conforming stream yields == expected, an over-long stream
     # yields expected+1 and fails the unfilter length check — either way
     # allocation never exceeds the capped geometry
     raw = zlib.decompressobj().decompress(idat, expected + 1)
-    return _png_unfilter(raw, width, height, channels)
+    rows = _png_unfilter(raw, height, stride, bpp)
+    if depth < 8:  # unpack bit-packed samples (big-endian within a byte)
+        bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits.reshape(height, width, depth) * weights).sum(axis=2).astype(np.uint8)
+    elif depth == 16:
+        samples = rows.reshape(height, width * channels, 2)[:, :, 0]  # high byte
+    else:
+        samples = rows
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = samples.reshape(height, width)
+        if pal.shape[0] == 0 or int(idx.max()) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            alpha[: min(len(trns), pal.shape[0])] = np.frombuffer(
+                trns[: pal.shape[0]], dtype=np.uint8
+            )
+            return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:  # scale sub-byte gray to full range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return (
+        samples.reshape(height, width, channels)
+        if channels > 1
+        else samples.reshape(height, width)
+    )
 
 
 def image_features(img: np.ndarray, n_hist: int = 59) -> np.ndarray:
@@ -312,12 +371,13 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     """Default codec for the ``extract_features`` seam.
 
     REAL stdlib decoders: ``audio/wav`` (RIFF parse ->
-    :func:`wav_features`), ``image/png`` (8-bit gray/RGB/RGBA, all five
-    filters), ``image/jpeg`` (baseline sequential Huffman — see
+    :func:`wav_features`), ``image/png`` (gray/RGB/RGBA/gray-alpha at
+    8/16-bit, palette and sub-byte gray at 1/2/4-bit, all five filters),
+    ``image/jpeg`` (baseline sequential Huffman — see
     :mod:`osmgraft.operators.jpegcodec`), binary PNM P5/P6 ->
     :func:`image_features`, and MJPEG AVI video (container walk + JPEG
     decode of the middle frame -> :func:`image_features`). Anything
-    outside each decoder's envelope (progressive JPEG, palette PNG,
+    outside each decoder's envelope (progressive JPEG, Adam7 PNG,
     non-MJPEG video, ...) raises so nothing silently trains on fake
     pixels — real deployments plug Pillow/ffmpeg in via the ``codec=``
     parameter."""

@@ -226,3 +226,90 @@ def test_decode_media_image_mimes_real():
         decode_media(b"\xff\xd8\xff", "image/jpeg")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+# --- extended envelope: palette / sub-byte / 16-bit / gray-alpha ----------
+
+
+def _png_full(w, h, depth, color, raw_rows, plte=None, trns=None):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw_rows)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette8_roundtrip():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    img = decode_png(_png_full(13, 9, 8, 3, raw, plte=pal.tobytes()))
+    assert np.array_equal(img, pal[idx])
+
+
+def test_png_palette_trns_alpha():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    img = decode_png(_png_full(13, 9, 8, 3, raw, plte=pal.tobytes(), trns=bytes([10, 200])))
+    assert img.shape == (9, 13, 4)
+    alpha = np.array([10, 200] + [255] * 14, dtype=np.uint8)
+    assert np.array_equal(img[..., 3], alpha[idx])
+    assert np.array_equal(img[..., :3], pal[idx])
+
+
+def test_png_palette4_bitpacked():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)  # odd width: pad nibble
+
+    def pack4(row):
+        padded = np.concatenate([row, [0]]).astype(np.uint8)
+        return bytes((padded[0::2] << 4 | padded[1::2]).astype(np.uint8))
+
+    raw = b"".join(b"\x00" + pack4(idx[y]) for y in range(5))
+    assert np.array_equal(decode_png(_png_full(7, 5, 4, 3, raw, plte=pal.tobytes())), pal[idx])
+
+
+def test_png_gray1_scaled_to_full_range():
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 2, (6, 10), dtype=np.uint8)
+    raw = b"".join(b"\x00" + np.packbits(g[y]).tobytes() for y in range(6))
+    assert np.array_equal(decode_png(_png_full(10, 6, 1, 0, raw)), g * 255)
+
+
+def test_png_gray16_high_byte_with_up_filter():
+    rng = np.random.default_rng(8)
+    g16 = rng.integers(0, 65536, (4, 5), dtype=np.uint16)
+    rows = [g16[y].astype(">u2").tobytes() for y in range(4)]
+    raw = b"\x00" + rows[0]
+    for y in range(1, 4):  # Up filter exercises the 2-byte-per-pixel stride
+        prev = np.frombuffer(rows[y - 1], dtype=np.uint8)
+        cur = np.frombuffer(rows[y], dtype=np.uint8)
+        raw += b"\x02" + (cur - prev).tobytes()
+    assert np.array_equal(decode_png(_png_full(5, 4, 16, 0, raw)), (g16 >> 8).astype(np.uint8))
+
+
+def test_png_gray_alpha():
+    rng = np.random.default_rng(9)
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(3))
+    assert np.array_equal(decode_png(_png_full(4, 3, 8, 4, raw)), ga)
+
+
+def test_png_palette_index_out_of_range_raises():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    bad = np.full((2, 2), 99, dtype=np.uint8)
+    raw = b"".join(b"\x00" + bad[y].tobytes() for y in range(2))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_full(2, 2, 8, 3, raw, plte=pal.tobytes()))
+
+
+def test_png_palette_missing_plte_raises():
+    raw = b"\x00\x00\x00" + b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_png_full(2, 2, 8, 3, b"\x00\x00\x00" * 2))
