@@ -238,6 +238,31 @@ _PNG_MAX_SAMPLES = 64_000_000  # width*height*channels cap (~64 MP gray / 16 MP 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_extract(rows: np.ndarray, width: int, channels: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes -> (h, width, channels) uint8 samples
+    (bit-unpack for sub-byte depths, high byte for 16-bit)."""
+    height = rows.shape[0]
+    if depth < 8:
+        bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits.reshape(height, width, depth) * weights).sum(axis=2).astype(np.uint8)
+        return samples.reshape(height, width, 1)
+    if depth == 16:
+        return rows.reshape(height, width, channels, 2)[..., 0]
+    return rows.reshape(height, width, channels)
+
 
 def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarray:
     """Stdlib-only PNG decoder (struct + zlib + numpy), all five scanline
@@ -250,10 +275,9 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
     - depth 1/2/4 gray (color 0): bit-unpacked, scaled to full range
       (``v * 255 / (2^d - 1)``);
     - depth 1/2/4/8 palette (color 3): PLTE lookup -> HxWx3, or HxWx4
-      when a tRNS chunk carries per-entry alpha.
-
-    Adam7 interlace raises — that payload routes to an injected Pillow
-    codec via the ``codec=`` seam, not a silent fake.
+      when a tRNS chunk carries per-entry alpha;
+    - Adam7 interlace across all of the above (7 independently-filtered
+      sub-image passes scattered onto the pixel grid).
 
     Payloads are untrusted bytes by this module's contract, so the decoder
     is bomb-safe: IHDR geometry is capped at ``max_samples`` BEFORE any
@@ -294,11 +318,11 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
         or (depth in (1, 2, 4) and color in (0, 3))
         or (depth == 8 and color == 3)
     )
-    if not ok_shape or interlace != 0:
+    if not ok_shape or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG shape: depth={depth} color={color} interlace={interlace} "
             "(gray/RGB/RGBA/gray-alpha at 8/16-bit, gray/palette at 1/2/4-bit, "
-            "non-interlaced only)"
+            "none/Adam7 interlace)"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
@@ -310,23 +334,32 @@ def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarra
         raise ValueError(
             f"PNG geometry {width}x{height}x{out_channels} exceeds max_samples={max_samples}"
         )
-    stride = (width * channels * depth + 7) // 8  # filtered bytes per row
     bpp = max(1, channels * depth // 8)  # filter left-neighbor distance
-    expected = height * (stride + 1)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:  # Adam7: (x0, y0, dx, dy, cols, rows) per non-empty pass
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            cols = (width - x0 + dx - 1) // dx
+            rows_n = (height - y0 + dy - 1) // dy
+            if cols > 0 and rows_n > 0:
+                passes.append((x0, y0, dx, dy, cols, rows_n))
+    expected = sum(r * ((c * channels * depth + 7) // 8 + 1) for *_, c, r in passes)
     # bounded inflate: ask for exactly one byte more than the scanline
     # stream; a conforming stream yields == expected, an over-long stream
-    # yields expected+1 and fails the unfilter length check — either way
-    # allocation never exceeds the capped geometry
+    # yields expected+1 and fails the length check — either way allocation
+    # never exceeds the capped geometry
     raw = zlib.decompressobj().decompress(idat, expected + 1)
-    rows = _png_unfilter(raw, height, stride, bpp)
-    if depth < 8:  # unpack bit-packed samples (big-endian within a byte)
-        bits = np.unpackbits(rows, axis=1)[:, : width * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (bits.reshape(height, width, depth) * weights).sum(axis=2).astype(np.uint8)
-    elif depth == 16:
-        samples = rows.reshape(height, width * channels, 2)[:, :, 0]  # high byte
-    else:
-        samples = rows
+    if len(raw) != expected:
+        raise ValueError("PNG pixel stream length mismatch")
+    samples = np.zeros((height, width, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, cols, rows_n in passes:
+        stride = (cols * channels * depth + 7) // 8
+        span = rows_n * (stride + 1)
+        sub = _png_unfilter(raw[off : off + span], rows_n, stride, bpp)
+        samples[y0::dy, x0::dx] = _png_extract(sub, cols, channels, depth)
+        off += span
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
@@ -377,10 +410,9 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     :mod:`osmgraft.operators.jpegcodec`), binary PNM P5/P6 ->
     :func:`image_features`, and MJPEG AVI video (container walk + JPEG
     decode of the middle frame -> :func:`image_features`). Anything
-    outside each decoder's envelope (progressive JPEG, Adam7 PNG,
-    non-MJPEG video, ...) raises so nothing silently trains on fake
-    pixels — real deployments plug Pillow/ffmpeg in via the ``codec=``
-    parameter."""
+    outside each decoder's envelope (progressive JPEG, non-MJPEG video,
+    ...) raises so nothing silently trains on fake pixels — real
+    deployments plug Pillow/ffmpeg in via the ``codec=`` parameter."""
     if mime in _WAV_MIMES:
         return wav_features(*decode_wav(payload))
     if mime in _PNG_MIMES:

@@ -115,7 +115,8 @@ def test_png_rejects_unsupported_shapes():
     ok = _encode_png(img, 0)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
-    # 16-bit depth
+    # 16-bit header over an 8-bit-layout stream: supported depth, but the
+    # stream is half the declared size -> length mismatch
     bad_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     bad = (
         b"\x89PNG\r\n\x1a\n"
@@ -123,9 +124,19 @@ def test_png_rejects_unsupported_shapes():
         + _png_chunk(b"IDAT", zlib.compress(_forward_filter(img, 0)))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_png(bad)
-    # interlaced
+    # genuinely unsupported: depth 2 RGB is not a legal PNG shape
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + _png_chunk(b"IEND", b"")
+        )
+    # Adam7 header over a non-interlaced-layout stream: the per-pass
+    # length accounting must reject it (Adam7 itself is supported — see
+    # test_png_adam7_roundtrip)
     il_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
     il = (
         b"\x89PNG\r\n\x1a\n"
@@ -133,7 +144,7 @@ def test_png_rejects_unsupported_shapes():
         + _png_chunk(b"IDAT", zlib.compress(_forward_filter(img, 0)))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_png(il)
     # invalid filter type byte
     raw = b"\x05" + img[0].tobytes()
@@ -313,3 +324,106 @@ def test_png_palette_missing_plte_raises():
     raw = b"\x00\x00\x00" + b"\x00\x00\x00"
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(_png_full(2, 2, 8, 3, b"\x00\x00\x00" * 2))
+
+
+# --- Adam7 interlace -------------------------------------------------------
+
+_ADAM7 = (  # (x0, y0, dx, dy) per PNG spec §8.2 / libpng png_pass_*
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _encode_adam7(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Forward Adam7 encoder (test-only): split into the 7 passes, filter
+    each pass independently, concatenate."""
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[c]
+    stream = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        stream += _forward_filter(sub, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_adam7_roundtrip(filter_type, channels):
+    # 13x11 exercises non-multiple-of-8 pass geometry (empty-row passes,
+    # 1-column passes); every pass is filtered independently
+    img = _test_img(13, 11, channels, seed=21)
+    assert np.array_equal(decode_png(_encode_adam7(img, filter_type)), img)
+
+
+def test_png_adam7_tiny_images():
+    # images smaller than the pass grid: several passes are empty
+    for h, w in ((1, 1), (2, 2), (3, 5), (8, 1), (1, 8)):
+        img = _test_img(h, w, 3, seed=h * 16 + w)
+        assert np.array_equal(decode_png(_encode_adam7(img, 0)), img)
+
+
+def test_adam7_grid_matches_canonical_pattern():
+    # independent cross-check: the pass table must reproduce the spec's
+    # canonical 8x8 pass-number matrix (shared-constant bugs between the
+    # encoder helper and decoder can't hide from this)
+    from osmgraft.operators.multimodal import _ADAM7 as A
+
+    g = np.zeros((8, 8), int)
+    for p, (x0, y0, dx, dy) in enumerate(A, 1):
+        g[y0::dy, x0::dx] = p
+    canon = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    assert np.array_equal(g, canon)
+    assert np.array_equal(A, _ADAM7)  # test helper uses the same grid
+
+
+def test_png_adam7_palette_bitpacked():
+    # interlace composes with the palette/sub-byte path: 4-bit palette,
+    # per-pass bit packing (pass rows repack at the pass's own width)
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+
+    def pack4(row):
+        padded = np.concatenate([row, [0]]) if len(row) % 2 else row
+        return bytes(((padded[0::2] << 4) | padded[1::2]).astype(np.uint8))
+
+    stream = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        stream += b"".join(b"\x00" + pack4(sub[y]) for y in range(sub.shape[0]))
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 4, 3, 0, 0, 1)
+    p = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(p), pal[idx])
