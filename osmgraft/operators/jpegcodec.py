@@ -68,10 +68,42 @@ _DCT_C = np.array(
 )
 
 
-class _HuffTable:
-    """Canonical Huffman table in T.81 DECODE form (mincode/maxcode/valptr)."""
+_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+_LUT_CACHE_MAX = 64  # tables are tiny but inputs are untrusted — bound it
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals")
+
+def _build_lut16(bits: list[int], vals: bytes) -> list[int]:
+    """16-bit peek table: entry = (code_length << 8) | symbol for every
+    16-bit window starting with that code; 0 marks an invalid prefix.
+    Decoding is then one slice + one list index instead of a bit-by-bit
+    tree walk. Memoized on the raw DHT payload — real corpora reuse the
+    spec's example tables across millions of images, so each executor
+    builds each distinct table once."""
+    key = (bytes(bits), vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    arr = np.zeros(1 << 16, np.uint16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            arr[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    lut = arr.tolist()  # list indexing beats ndarray scalar boxing here
+    if len(_LUT_CACHE) < _LUT_CACHE_MAX:
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+class _HuffTable:
+    """Canonical Huffman table in T.81 DECODE form (mincode/maxcode/valptr)
+    plus the 16-bit peek LUT used by the fast decode path."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut")
 
     def __init__(self, bits: list[int], vals: bytes):
         if sum(bits) != len(vals):
@@ -90,12 +122,15 @@ class _HuffTable:
             k += n
             self.maxcode[length] = code - 1 if n else -1
             code <<= 1
+        self.lut = _build_lut16(bits, vals)
 
 
 class _BitReader:
-    """MSB-first bit reader over one entropy segment. The segment bytes are
-    expanded once (vectorized) into an ASCII '0'/'1' string; ``read`` is
-    then a C-speed ``int(slice, 2)`` — no per-bit Python arithmetic."""
+    """MSB-first bit cursor over one entropy segment. The segment bytes
+    are expanded once (vectorized) into an ASCII '0'/'1' string;
+    :func:`_decode_block` then reads codes and coefficient bits as
+    C-speed ``int(slice, 2)`` over cached locals — no per-bit Python
+    arithmetic."""
 
     __slots__ = ("s", "pos")
 
@@ -105,38 +140,70 @@ class _BitReader:
         ).tobytes().decode("ascii") if seg else ""
         self.pos = 0
 
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        p = self.pos
-        if p + n > len(self.s):
+
+def _decode_block(reader: _BitReader, dct: _HuffTable, act: _HuffTable, blk, pred: int) -> int:
+    """Entropy-decode ONE 8x8 block into ``blk`` (zigzag order) and return
+    the updated DC predictor. This is the decoder's innermost loop, so the
+    LUT decode and RECEIVE/EXTEND are inlined over cached locals — one
+    string slice + one list index per Huffman symbol, one more slice per
+    nonzero coefficient, no per-coefficient function calls."""
+    s = reader.s
+    pos = reader.pos
+    n = len(s)
+    dlut = dct.lut
+    alut = act.lut
+    # DC coefficient
+    chunk = s[pos : pos + 16]
+    if len(chunk) < 16:
+        chunk += "1" * (16 - len(chunk))
+    e = dlut[int(chunk, 2)]
+    length = e >> 8
+    if length == 0:
+        raise ValueError("invalid Huffman code in JPEG stream")
+    if pos + length > n:
+        raise ValueError("JPEG entropy stream truncated")
+    pos += length
+    size = e & 0xFF
+    if size > 11:
+        raise ValueError(f"DC size {size} invalid")
+    if size:
+        if pos + size > n:
             raise ValueError("JPEG entropy stream truncated")
-        self.pos = p + n
-        return int(self.s[p : p + n], 2)
-
-    def read_bit(self) -> int:
-        p = self.pos
-        if p >= len(self.s):
+        v = int(s[pos : pos + size], 2)
+        pos += size
+        pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+    blk[0] = pred
+    # AC coefficients
+    k = 1
+    while k < 64:
+        chunk = s[pos : pos + 16]
+        if len(chunk) < 16:
+            chunk += "1" * (16 - len(chunk))
+        e = alut[int(chunk, 2)]
+        length = e >> 8
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        if pos + length > n:
             raise ValueError("JPEG entropy stream truncated")
-        self.pos = p + 1
-        return self.s[p] == "1"
-
-
-def _huff_decode(r: _BitReader, t: _HuffTable) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        mx = t.maxcode[length]
-        if mx >= 0 and t.mincode[length] <= code <= mx:
-            return t.vals[t.valptr[length] + code - t.mincode[length]]
-    raise ValueError("invalid Huffman code in JPEG stream")
-
-
-def _receive_extend(r: _BitReader, s: int) -> int:
-    if s == 0:
-        return 0
-    v = r.read(s)
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        pos += length
+        rs = e & 0xFF
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:
+                break  # EOB
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overrun")
+        if pos + size > n:
+            raise ValueError("JPEG entropy stream truncated")
+        v = int(s[pos : pos + size], 2)
+        pos += size
+        blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        k += 1
+    reader.pos = pos
+    return pred
 
 
 def _scan_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
@@ -314,25 +381,7 @@ def _decode_scan(
             for bv in range(v):
                 for bh in range(h):
                     blk = coefs[ci][my * v + bv, mx * h + bh]
-                    s = _huff_decode(reader, dct)
-                    if s > 11:
-                        raise ValueError(f"DC size {s} invalid")
-                    dc_pred[ci] += _receive_extend(reader, s)
-                    blk[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, act)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC coefficient index overrun")
-                        blk[k] = _receive_extend(reader, s)
-                        k += 1
+                    dc_pred[ci] = _decode_block(reader, dct, act, blk, dc_pred[ci])
 
     # dequantize + de-zigzag + IDCT, vectorized per component
     planes = []
