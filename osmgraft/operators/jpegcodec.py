@@ -68,32 +68,40 @@ _DCT_C = np.array(
 )
 
 
-_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
-_LUT_CACHE_MAX = 64  # tables are tiny but inputs are untrusted — bound it
+_LUT_CACHE: dict[tuple[bytes, bytes], tuple[int, list[int]]] = {}
+_LUT_CACHE_MAX = 256  # tables are small but inputs are untrusted — bound it
 
 
-def _build_lut16(bits: list[int], vals: bytes) -> list[int]:
-    """16-bit peek table: entry = (code_length << 8) | symbol for every
-    16-bit window starting with that code; 0 marks an invalid prefix.
-    Decoding is then one slice + one list index instead of a bit-by-bit
-    tree walk. Memoized on the raw DHT payload — real corpora reuse the
-    spec's example tables across millions of images, so each executor
-    builds each distinct table once."""
+def _build_lut(bits: list[int], vals: bytes) -> tuple[int, list[int]]:
+    """Peek table sized to the table's own longest code: returns
+    ``(lut_bits, lut)`` where ``lut[window] = (code_length << 8) |
+    symbol`` for every ``lut_bits``-wide window, 0 for invalid prefixes.
+    Decoding is one slice + one list index instead of a bit-by-bit tree
+    walk. Sizing at the REAL max code length matters: per-image tables
+    (this encoder's flat tables are <=9 bits) build 512-entry LUTs in
+    microseconds, while a fixed 2^16 build would dominate thumbnail
+    decodes. Memoized on the raw DHT payload — corpora reusing the
+    spec's example tables build each table once per executor."""
     key = (bytes(bits), vals)
-    lut = _LUT_CACHE.get(key)
-    if lut is not None:
-        return lut
-    arr = np.zeros(1 << 16, np.uint16)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    maxlen = 1
+    for length in range(16, 0, -1):
+        if bits[length - 1]:
+            maxlen = length
+            break
+    arr = np.zeros(1 << maxlen, np.uint16)
     code = 0
     k = 0
-    for length in range(1, 17):
+    for length in range(1, maxlen + 1):
         for _ in range(bits[length - 1]):
-            base = code << (16 - length)
-            arr[base : base + (1 << (16 - length))] = (length << 8) | vals[k]
+            base = code << (maxlen - length)
+            arr[base : base + (1 << (maxlen - length))] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    lut = arr.tolist()  # list indexing beats ndarray scalar boxing here
+    lut = (maxlen, arr.tolist())  # list indexing beats ndarray scalar boxing
     if len(_LUT_CACHE) < _LUT_CACHE_MAX:
         _LUT_CACHE[key] = lut
     return lut
@@ -103,7 +111,7 @@ class _HuffTable:
     """Canonical Huffman table in T.81 DECODE form (mincode/maxcode/valptr)
     plus the 16-bit peek LUT used by the fast decode path."""
 
-    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut")
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "lut_bits", "lut")
 
     def __init__(self, bits: list[int], vals: bytes):
         if sum(bits) != len(vals):
@@ -122,7 +130,7 @@ class _HuffTable:
             k += n
             self.maxcode[length] = code - 1 if n else -1
             code <<= 1
-        self.lut = _build_lut16(bits, vals)
+        self.lut_bits, self.lut = _build_lut(bits, vals)
 
 
 class _BitReader:
@@ -150,12 +158,12 @@ def _decode_block(reader: _BitReader, dct: _HuffTable, act: _HuffTable, blk, pre
     s = reader.s
     pos = reader.pos
     n = len(s)
-    dlut = dct.lut
-    alut = act.lut
+    dbits, dlut = dct.lut_bits, dct.lut
+    abits, alut = act.lut_bits, act.lut
     # DC coefficient
-    chunk = s[pos : pos + 16]
-    if len(chunk) < 16:
-        chunk += "1" * (16 - len(chunk))
+    chunk = s[pos : pos + dbits]
+    if len(chunk) < dbits:
+        chunk += "1" * (dbits - len(chunk))
     e = dlut[int(chunk, 2)]
     length = e >> 8
     if length == 0:
@@ -176,9 +184,9 @@ def _decode_block(reader: _BitReader, dct: _HuffTable, act: _HuffTable, blk, pre
     # AC coefficients
     k = 1
     while k < 64:
-        chunk = s[pos : pos + 16]
-        if len(chunk) < 16:
-            chunk += "1" * (16 - len(chunk))
+        chunk = s[pos : pos + abits]
+        if len(chunk) < abits:
+            chunk += "1" * (abits - len(chunk))
         e = alut[int(chunk, 2)]
         length = e >> 8
         if length == 0:
