@@ -188,16 +188,17 @@ def _stage_mp4_oracle(n: int = 120) -> str:
     return _MP4_ORACLE_PATH
 
 
-_JPEG_ORACLE_PATH = "/tmp/osmgraft_jpeg_oracle.parquet"
+_JPEG_ORACLE_PATH = "/tmp/osmgraft_jpeg_oracle_v2.parquet"
 
 
 def _stage_jpeg_oracle(n: int = 120) -> str:
-    """Deterministic VALID baseline JPEG payloads staged without Spark,
-    mixing grayscale/RGB 4:4:4/RGB 4:2:0 and restart intervals. JPEG is
-    lossy, so the oracle side-channel (``w``/``h``/``px_sum``) is produced
-    by decoding each payload ONCE at staging time (driver-side, same
-    deterministic decoder); the Spark query must reproduce all three from
-    the BYTES through the full entropy-decode + IDCT + color path on
+    """Deterministic VALID JPEG payloads staged without Spark, mixing
+    baseline grayscale / RGB 4:4:4 / RGB 4:2:0 with restart intervals AND
+    progressive (SOF2) streams with the default multi-scan script. JPEG
+    is lossy, so the oracle side-channel (``w``/``h``/``px_sum``) is
+    produced by decoding each payload ONCE at staging time (driver-side,
+    same deterministic decoder); the Spark query must reproduce all three
+    from the BYTES through the full entropy-decode + IDCT + color path on
     executors. What the hash match proves: the distributed Arrow kernel
     decodes byte-identically to the staging decode."""
     import os
@@ -206,7 +207,11 @@ def _stage_jpeg_oracle(n: int = 120) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from osmgraft.operators.jpegcodec import decode_jpeg, encode_jpeg_baseline
+    from osmgraft.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
 
     if os.path.exists(_JPEG_ORACLE_PATH):
         return _JPEG_ORACLE_PATH
@@ -218,16 +223,21 @@ def _stage_jpeg_oracle(n: int = 120) -> str:
         rng = np.random.default_rng([97, i])
         y, x = np.mgrid[0:h, 0:w]
         base = ((x * 5 + y * 3 + i) % 256).astype(np.uint8)
-        if i % 3 == 0:
+        if i % 4 == 0:
             img = base
             payload = encode_jpeg_baseline(img, quality=90 + (i % 11))
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             img = np.stack([base, base[::-1], rng.integers(0, 256, (h, w), dtype=np.uint8)], axis=2)
             payload = encode_jpeg_baseline(img, quality=85 + (i % 16), subsampling="444")
-        else:
+        elif i % 4 == 2:
             img = np.stack([base, np.roll(base, 3, axis=1), np.roll(base, 5, axis=0)], axis=2)
             payload = encode_jpeg_baseline(
                 img, quality=80 + (i % 21), subsampling="420", restart_interval=(i % 4)
+            )
+        else:  # progressive: multi-scan spectral selection + SA
+            img = np.stack([base, np.roll(base, 2, axis=0), base[:, ::-1]], axis=2)
+            payload = encode_jpeg_progressive(
+                img, quality=82 + (i % 19), subsampling="420" if i % 2 else "444"
             )
         dec = decode_jpeg(payload)
         ids.append(i)

@@ -406,12 +406,12 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     REAL stdlib decoders: ``audio/wav`` (RIFF parse ->
     :func:`wav_features`), ``image/png`` (gray/RGB/RGBA/gray-alpha at
     8/16-bit, palette and sub-byte gray at 1/2/4-bit, all five filters),
-    ``image/jpeg`` (baseline sequential Huffman — see
+    ``image/jpeg`` (baseline + progressive Huffman — see
     :mod:`osmgraft.operators.jpegcodec`), binary PNM P5/P6 ->
     :func:`image_features`, and MJPEG AVI video (container walk + JPEG
     decode of the middle frame -> :func:`image_features`). Anything
-    outside each decoder's envelope (progressive JPEG, non-MJPEG video,
-    ...) raises so nothing silently trains on fake pixels — real
+    outside each decoder's envelope (arithmetic-coded JPEG, non-MJPEG
+    video, ...) raises so nothing silently trains on fake pixels — real
     deployments plug Pillow/ffmpeg in via the ``codec=`` parameter."""
     if mime in _WAV_MIMES:
         return wav_features(*decode_wav(payload))

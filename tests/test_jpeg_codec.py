@@ -101,12 +101,19 @@ def test_rejects_unsupported_shapes():
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
-    # progressive SOF2 raises with a clear message
+    # a baseline-layout stream relabeled SOF2 is malformed progressive
+    # (Ss=0/Se=63 is no legal progressive scan); real progressive streams
+    # decode — see test_jpeg_progressive.py
     prog = bytearray(ok)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF marker"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
+    # genuinely unsupported SOF: lossless (SOF3)
+    lossless = bytearray(ok)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF marker"):
+        decode_jpeg(bytes(lossless))
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(ok[: len(ok) - max(8, len(ok) // 4)])
