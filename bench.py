@@ -186,7 +186,12 @@ def stage_codec_media(spark, n: int = 12_000) -> str:
             yield pd.DataFrame({"media_id": ids, "payload": pls})
 
     def gen_jpeg(batches):
-        from osmgraft.operators.jpegcodec import encode_jpeg_baseline
+        # 3:1 baseline:progressive — roughly the shape of a web corpus,
+        # so the throughput row exercises both entropy decoders
+        from osmgraft.operators.jpegcodec import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
 
         for pdf in batches:
             ids, pls = [], []
@@ -194,9 +199,8 @@ def stage_codec_media(spark, n: int = 12_000) -> str:
                 rng = np.random.default_rng([17, int(i)])
                 img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
                 ids.append(int(i))
-                pls.append(
-                    encode_jpeg_baseline(img, quality=85, subsampling="420")
-                )
+                enc = encode_jpeg_progressive if int(i) % 4 == 3 else encode_jpeg_baseline
+                pls.append(enc(img, quality=85, subsampling="420"))
             yield pd.DataFrame({"media_id": ids, "payload": pls})
 
     for kind, gen in (("wav", gen_wav), ("png", gen_png), ("jpeg", gen_jpeg)):

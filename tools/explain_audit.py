@@ -160,8 +160,10 @@ def main() -> None:
         f"no cartesian/BNLJ: {'Cartesian' not in p7b and 'BroadcastNestedLoopJoin' not in p7b}",
         f"hot-cell map reaches the big side as a BROADCAST join (never a shuffle "
         f"of the label side): {'BroadcastHashJoin' in p7b or 'BroadcastExchange' in p7b}",
-        f"salted main join still a hash equi-join: "
-        f"{bool(re.search(r'(SortMergeJoin|ShuffledHashJoin)', p7b))}",
+        # at audit scale AQE may broadcast the salted side — BroadcastHashJoin
+        # is still a hash equi-join, the property is "never nested-loop"
+        f"salted main join still a hash equi-join (SMJ/SHJ/BHJ): "
+        f"{bool(re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p7b))}",
     ]
     sections.append(("banded kNN candidates — auto skew rail active (default)", p7b, notes7b))
 
