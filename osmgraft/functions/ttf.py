@@ -41,6 +41,8 @@ import math
 import struct
 from dataclasses import dataclass
 
+from osmgraft.guard import untrusted_parser
+
 from osmgraft.functions.fontmetrics import FontMetrics, create_font_atlas_info
 
 
@@ -515,6 +517,7 @@ def rasterize_contours(
     return (cover * 255.0 + 0.5).astype(np.uint8).tobytes()
 
 
+@untrusted_parser
 def parse_ttf(path: str) -> TtfTables:
     """Parse the metric-bearing tables of a TrueType font (struct-only)."""
     with open(path, "rb") as fh:

@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from osmgraft.guard import untrusted_parser
+
 _MAX_SAMPLES = 64_000_000  # width*height*components cap, like decode_png
 
 
@@ -279,6 +281,7 @@ def _scan_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return [bytes(s) for s in segs], i
 
 
+@untrusted_parser
 def decode_jpeg(payload: bytes, max_samples: int = _MAX_SAMPLES) -> np.ndarray:
     """Baseline or progressive JPEG -> HxW uint8 (gray) or HxWx3 (RGB).
 

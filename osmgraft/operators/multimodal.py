@@ -34,6 +34,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from osmgraft.guard import untrusted_parser
+
 MEDIA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -50,6 +52,7 @@ MEDIA = StructType(
 _WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
 
 
+@untrusted_parser
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Stdlib-only PCM WAV decoder: struct reads over the RIFF chunk list
     (word-aligned, unknown chunks skipped). Supports format 1 (PCM) at
@@ -138,6 +141,7 @@ _PNM_MIMES = ("image/x-portable-graymap", "image/x-portable-pixmap", "image/pnm"
 _PNG_MIMES = ("image/png",)
 
 
+@untrusted_parser
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Stdlib-only binary PNM decoder: P5 (gray) -> HxW uint8, P6 (RGB) ->
     HxWx3 uint8. Header is whitespace-separated magic/width/height/maxval
@@ -264,6 +268,7 @@ def _png_extract(rows: np.ndarray, width: int, channels: int, depth: int) -> np.
     return rows.reshape(height, width, channels)
 
 
+@untrusted_parser
 def decode_png(payload: bytes, max_samples: int = _PNG_MAX_SAMPLES) -> np.ndarray:
     """Stdlib-only PNG decoder (struct + zlib + numpy), all five scanline
     filters, non-interlaced:
@@ -400,6 +405,7 @@ def image_features(img: np.ndarray, n_hist: int = 59) -> np.ndarray:
 _JPEG_MIMES = ("image/jpeg", "image/jpg")
 
 
+@untrusted_parser
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
     """Default codec for the ``extract_features`` seam.
 
@@ -433,6 +439,21 @@ def decode_media(payload: bytes, mime: str) -> np.ndarray:
     )
 
 
+def _on_error_policy(on_error: str):
+    """Validate the decode kernels' poisoned-payload policy (driver-side,
+    before the kernel ships). ``"raise"`` preserves fail-fast semantics
+    (the oracle/test default: any undecodable byte is a bug). ``"skip"``
+    drops the row — at 10^12 documents of scraped media, SOME payloads
+    are corrupt or adversarial, and one of them must not be able to kill
+    the task (and, after retries, the job). Only the codec contract
+    errors (ValueError / NotImplementedError, see
+    :mod:`osmgraft.guard`) are skippable; genuine runtime errors still
+    propagate."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    return on_error == "skip"
+
+
 def fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in feature extractor: content-keyed RNG vector.
     Lets the full pipeline (schema, shuffles, joins, ANN) run end-to-end
@@ -451,7 +472,8 @@ _FEAT_SCHEMA = StructType(
 
 
 def extract_features(
-    media: DataFrame, dim: int = 64, use_codec: bool = False, codec=None
+    media: DataFrame, dim: int = 64, use_codec: bool = False, codec=None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """media -> (media_id, features[dim], n_bytes). Arrow-batched; each
     batch handles its payloads in one pass.
@@ -465,24 +487,30 @@ def extract_features(
     callable. The seam is pinned by a contract test that injects a stub
     codec (tests/test_extras.py::test_multimodal_codec_seam)."""
     decode = codec if codec is not None else decode_media
+    skip = _on_error_policy(on_error)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            nbytes = []
-            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+            mids, feats, nbytes = [], [], []
+            for media_id, payload, mime in zip(pdf["media_id"], pdf["payload"], pdf["mime"]):
                 raw = bytes(payload)
-                nbytes.append(len(raw))
                 if use_codec:
-                    v = decode(raw, mime).ravel()[:dim].astype(np.float32)
+                    try:
+                        v = decode(raw, mime).ravel()[:dim].astype(np.float32)
+                    except (ValueError, NotImplementedError):
+                        if not skip:
+                            raise
+                        continue
                     if v.size < dim:  # uniform length: zero-pad short decodes
                         v = np.pad(v, (0, dim - v.size))
-                    feats.append(v)
                 else:
-                    feats.append(fake_features(raw, dim))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": feats, "n_bytes": nbytes}
-            )
+                    v = fake_features(raw, dim)
+                mids.append(int(media_id))
+                feats.append(v)
+                nbytes.append(len(raw))
+            if not mids:
+                continue  # all-skipped batch: empty frame has wrong dtypes for Arrow
+            yield pd.DataFrame({"media_id": mids, "features": feats, "n_bytes": nbytes})
 
     return media.select("media_id", "mime", "payload").mapInPandas(kernel, schema=_FEAT_SCHEMA)
 
@@ -497,7 +525,7 @@ _WAV_META_SCHEMA = StructType(
 )
 
 
-def wav_decode_meta(media: DataFrame) -> DataFrame:
+def wav_decode_meta(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode WAV headers+data at scale: (media_id, sample_rate, n_samples,
     duration_ms), all derived from the BYTES by :func:`decode_wav` — the
     DuckDB oracle recomputes them arithmetically from ``octet_length`` and
@@ -505,15 +533,24 @@ def wav_decode_meta(media: DataFrame) -> DataFrame:
     parse. Arrow-batched ``mapInPandas``; duration uses integer math
     (``n*1000 // rate``) to stay float-free on both sides."""
 
+    skip = _on_error_policy(on_error)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mid, sr, ns, ms = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                samples, rate = decode_wav(bytes(payload))
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
                 mid.append(int(media_id))
                 sr.append(rate)
                 ns.append(samples.size)
                 ms.append(samples.size * 1000 // rate)
+            if not mid:
+                continue
             yield pd.DataFrame(
                 {"media_id": mid, "sample_rate": sr, "n_samples": ns, "duration_ms": ms}
             )
@@ -531,7 +568,7 @@ _PNG_META_SCHEMA = StructType(
 )
 
 
-def png_decode_meta(media: DataFrame) -> DataFrame:
+def png_decode_meta(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode PNG payloads at scale: (media_id, width, height, px_sum) all
     derived from the BYTES by :func:`decode_png` — zlib inflate + scanline
     unfiltering included, so ``px_sum`` (sum over reconstructed samples)
@@ -540,21 +577,30 @@ def png_decode_meta(media: DataFrame) -> DataFrame:
     Arrow-batched ``mapInPandas``, image-decode counterpart of
     :func:`wav_decode_meta`."""
 
+    skip = _on_error_policy(on_error)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mid, ws, hs, sums = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_png(bytes(payload))
+                try:
+                    img = decode_png(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
                 mid.append(int(media_id))
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])
                 sums.append(int(img.astype(np.int64).sum()))
+            if not mid:
+                continue
             yield pd.DataFrame({"media_id": mid, "width": ws, "height": hs, "px_sum": sums})
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_PNG_META_SCHEMA)
 
 
-def jpeg_decode_meta(media: DataFrame) -> DataFrame:
+def jpeg_decode_meta(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode baseline-JPEG payloads at scale: (media_id, width, height,
     px_sum) derived from the BYTES by
     :func:`osmgraft.operators.jpegcodec.decode_jpeg` — Huffman entropy
@@ -566,20 +612,30 @@ def jpeg_decode_meta(media: DataFrame) -> DataFrame:
     ground truth from an independent in-process decode)."""
     from osmgraft.operators.jpegcodec import decode_jpeg
 
+    skip = _on_error_policy(on_error)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mid, ws, hs, sums = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_jpeg(bytes(payload))
+                try:
+                    img = decode_jpeg(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
                 mid.append(int(media_id))
                 hs.append(img.shape[0])
                 ws.append(img.shape[1])
                 sums.append(int(img.astype(np.int64).sum()))
+            if not mid:
+                continue
             yield pd.DataFrame({"media_id": mid, "width": ws, "height": hs, "px_sum": sums})
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_PNG_META_SCHEMA)
 
 
+@untrusted_parser
 def parse_mp4_meta(payload: bytes, max_boxes: int = 10_000) -> dict:
     """ISO-BMFF (MP4/MOV) metadata from BYTES: struct-only box walk of
     ``ftyp``/``moov``/``mvhd`` (timescale + duration) and ``trak/tkhd``
@@ -703,22 +759,31 @@ _MP4_META_SCHEMA = StructType(
 )
 
 
-def mp4_decode_meta(media: DataFrame) -> DataFrame:
+def mp4_decode_meta(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Parse MP4 container metadata at scale: (media_id, duration_ms,
     width, height, n_tracks), all derived from the BYTES by
     :func:`parse_mp4_meta`. Arrow-batched ``mapInPandas`` — the video
     counterpart of :func:`wav_decode_meta`/:func:`png_decode_meta`."""
 
+    skip = _on_error_policy(on_error)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _MP4_META_SCHEMA.fields}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                meta = parse_mp4_meta(bytes(payload))
+                try:
+                    meta = parse_mp4_meta(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
                 rows["media_id"].append(int(media_id))
                 rows["duration_ms"].append(int(meta["duration_ms"]))
                 rows["width"].append(int(meta["width"] or 0))
                 rows["height"].append(int(meta["height"] or 0))
                 rows["n_tracks"].append(int(meta["n_tracks"]))
+            if not rows["media_id"]:
+                continue
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_MP4_META_SCHEMA)
@@ -754,6 +819,7 @@ def sample_frames(media: DataFrame, fps_out: float = 1.0) -> DataFrame:
 _AVI_MIMES = ("video/x-msvideo", "video/avi", "video/mjpeg")
 
 
+@untrusted_parser
 def parse_avi_mjpeg(payload: bytes, max_chunks: int = 100_000) -> dict:
     """RIFF-AVI metadata + frame index from BYTES: walks ``RIFF 'AVI '``
     → ``LIST hdrl`` (``avih``: µs/frame, total frames, geometry) →
@@ -892,21 +958,30 @@ _AVI_META_SCHEMA = StructType(
 )
 
 
-def avi_decode_meta(media: DataFrame) -> DataFrame:
+def avi_decode_meta(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Parse AVI container metadata at scale: (media_id, n_frames,
     duration_ms, width, height) from the BYTES via
     :func:`parse_avi_mjpeg`. Arrow-batched ``mapInPandas``."""
+
+    skip = _on_error_policy(on_error)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _AVI_META_SCHEMA.fields}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                meta = parse_avi_mjpeg(bytes(payload))
+                try:
+                    meta = parse_avi_mjpeg(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
                 rows["media_id"].append(int(media_id))
                 rows["n_frames"].append(int(meta["n_frames"]))
                 rows["duration_ms"].append(int(meta["n_frames"] * meta["us_per_frame"] // 1000))
                 rows["width"].append(int(meta["width"] or 0))
                 rows["height"].append(int(meta["height"] or 0))
+            if not rows["media_id"]:
+                continue
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_AVI_META_SCHEMA)
@@ -924,7 +999,9 @@ _FRAME_PX_SCHEMA = StructType(
 )
 
 
-def decode_video_frames(media: DataFrame, fps_out: float = 1.0) -> DataFrame:
+def decode_video_frames(
+    media: DataFrame, fps_out: float = 1.0, on_error: str = "raise"
+) -> DataFrame:
     """REAL video frame sampling + decode for MJPEG AVIs: samples frames
     at ``fps_out`` (the :func:`sample_frames` timestamp rule, applied to
     the byte-derived duration) and JPEG-decodes ONLY the sampled frames —
@@ -938,26 +1015,50 @@ def decode_video_frames(media: DataFrame, fps_out: float = 1.0) -> DataFrame:
     non-AVI payloads raise (the honest-seam rule: nothing fakes pixels)."""
     from osmgraft.operators.jpegcodec import decode_jpeg
 
+    skip = _on_error_policy(on_error)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k.name: [] for k in _FRAME_PX_SCHEMA.fields}
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                meta = parse_avi_mjpeg(raw)
-                frames = meta["frames"]
-                dur_ms = meta["n_frames"] * meta["us_per_frame"] / 1000.0
-                n_samples = max(int(dur_ms / 1000.0 * fps_out), 1)
-                for k in range(n_samples):
-                    frame_ms = int(k * 1000.0 / fps_out)
-                    src = min(int(frame_ms * 1000 / meta["us_per_frame"]), len(frames) - 1)
-                    off, size = frames[src]
-                    img = decode_jpeg(raw[off : off + size])
-                    rows["media_id"].append(int(media_id))
+                # per-payload atomicity under on_error='skip': a video
+                # whose LAST frame is corrupt emits none of its rows
+                # (partial frame sets would look like short clips)
+                staged: list[tuple] = []
+                try:
+                    meta = parse_avi_mjpeg(raw)
+                    frames = meta["frames"]
+                    dur_ms = meta["n_frames"] * meta["us_per_frame"] / 1000.0
+                    n_samples = max(int(dur_ms / 1000.0 * fps_out), 1)
+                    for k in range(n_samples):
+                        frame_ms = int(k * 1000.0 / fps_out)
+                        src = min(int(frame_ms * 1000 / meta["us_per_frame"]), len(frames) - 1)
+                        off, size = frames[src]
+                        img = decode_jpeg(raw[off : off + size])
+                        staged.append(
+                            (
+                                int(media_id),
+                                k,
+                                frame_ms,
+                                int(img.shape[1]),
+                                int(img.shape[0]),
+                                int(img.astype(np.int64).sum()),
+                            )
+                        )
+                except (ValueError, NotImplementedError):
+                    if not skip:
+                        raise
+                    continue
+                for mid_v, k, frame_ms, w, h, s in staged:
+                    rows["media_id"].append(mid_v)
                     rows["frame_idx"].append(k)
                     rows["frame_ms"].append(frame_ms)
-                    rows["width"].append(int(img.shape[1]))
-                    rows["height"].append(int(img.shape[0]))
-                    rows["px_sum"].append(int(img.astype(np.int64).sum()))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["px_sum"].append(s)
+            if not rows["media_id"]:
+                continue
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=_FRAME_PX_SCHEMA)
