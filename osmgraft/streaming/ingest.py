@@ -58,7 +58,7 @@ def stream_node_labels(
     from osmgraft.operators.tiles import assign_tiles
     from osmgraft.schemas import LEVELS
     from osmgraft.sources.config import default_config
-    from osmgraft.sources.decode import decode_points, geom_refs, with_tags, doc_osm_id
+    from osmgraft.sources.decode import decode_points, geom_ref_array, tags_expr, doc_osm_id
 
     cfg = cfg or default_config()
     spark = blobs.sparkSession
@@ -67,8 +67,19 @@ def stream_node_labels(
     from osmgraft.sources import geoblob
 
     node_docs = docs_stream.where(F.col("doc_id").startswith("node/"))
-    tagged = with_tags(node_docs).select(doc_osm_id().alias("osm_id"), "doc_id", "tags")
-    refs = geom_refs(node_docs)
+    # ONE projection carries tags AND the geometry ref: a node document
+    # has exactly one geom span (S1 contract), so no tags-branch /
+    # refs-branch self-join is needed — one plan pass instead of two, and
+    # (load-bearing) it keeps the stream a single lineage: Spark cannot
+    # resolve a streaming self-join across a stateful operator
+    # ("conflicting attributes" when stream_dedup_documents feeds this),
+    # so single-pass is what makes dedup -> labels composable at all
+    tagged = node_docs.select(
+        doc_osm_id().alias("osm_id"),
+        "doc_id",
+        tags_expr().alias("tags"),
+        F.element_at(geom_ref_array(), 1).alias("blob_id"),
+    )
     # the static blobs table mixes point and segment payloads; keep only
     # point-kind blobs (1-byte kind header) before the fixed-size decoder
     pt_blobs = blobs.where(
@@ -76,9 +87,8 @@ def stream_node_labels(
     )
     pts = decode_points(pt_blobs).withColumnRenamed("blob_id", "_bid")
     pois = (
-        refs.join(pts, refs["blob_id"] == pts["_bid"])
-        .select("doc_id", "lat", "lon")
-        .join(tagged, "doc_id")
+        tagged.join(pts, tagged["blob_id"] == pts["_bid"])
+        .select("osm_id", "doc_id", "tags", "lat", "lon")
         .where(filter_expr(cfg.filter_tree, F.col("tags")))
         .withColumn("level_id", level_expr(cfg, F.col("tags")))
         .where(F.col("level_id") != 0)
@@ -160,3 +170,114 @@ def stream_pipeline_foreach_batch(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_first_seen(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    exact first-occurrence dedup across micro-batches.
+
+    Emits each key's first-seen row and suppresses every later duplicate
+    — including duplicates arriving in LATER micro-batches, which a
+    per-batch ``dropDuplicates`` cannot do and an unbounded streaming
+    ``dropDuplicates`` only does with watermark columns in the key. State
+    per key is a single boolean marker (~bytes), the minimum possible
+    footprint for exact dedup; at 10^12 documents the marker store is
+    what RocksDB state backends are for, and ``state_ttl`` (e.g. ``"24
+    hours"``, processing-time timeout) bounds it for dedup-within-horizon
+    semantics (the usual crawl contract: re-emits only after the horizon).
+
+    ``order_cols`` makes the within-batch winner deterministic (smallest
+    tuple wins); default is the key itself, so a batch holding N copies
+    of a key emits exactly one, reproducibly. Output schema = input
+    schema, append-only.
+
+    Scale shape: one hash exchange on ``key_cols`` (the same shuffle the
+    batch ``dedup_exact`` pays), Arrow-batched state function, no
+    collect; skewed keys cost one state lookup per row, not a join
+    fan-out."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = stream.schema
+    cols = [f.name for f in out_schema.fields]
+    order = order_cols or key_cols
+    state_schema = StructType([StructField("seen", BooleanType())])
+    ttl_ms = None
+    if state_ttl is not None:
+        # "24 hours" / "10 minutes" / bare ms — parse driver-side once
+        qty, _, unit = state_ttl.partition(" ")
+        mult = {
+            "": 1, "ms": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.strip().lower()]
+        ttl_ms = int(float(qty) * mult)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if not state.exists:
+            best = None
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                cand = pdf.sort_values(order, kind="stable").iloc[[0]]
+                if best is None or tuple(cand.iloc[0][order]) < tuple(best.iloc[0][order]):
+                    best = cand
+            if best is not None:
+                state.update((True,))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)
+                yield best[cols]
+                return
+        else:
+            # drain the iterator (required by the contract) and refresh TTL
+            for _ in pdfs:
+                pass
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        return
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
+def document_fingerprint_expr():
+    """Content fingerprint of an interleaved document: xxhash64 over the
+    ordered span sequence (kind, text, media_ref) — the span-sequence
+    equality invariant, hashed. Two documents with identical span
+    sequences collide by construction."""
+    parts = F.transform(
+        F.col("spans"),
+        lambda s: F.concat_ws(
+            "\x1f", s["kind"], s["text"], F.coalesce(s["media_ref"], F.lit(""))
+        ),
+    )
+    return F.xxhash64(F.concat_ws("\x1e", parts))
+
+
+def stream_dedup_documents(docs_stream: DataFrame, state_ttl: str | None = None) -> DataFrame:
+    """Streaming ingest dedup for the documents table: drop every document
+    whose span-sequence fingerprint was already seen (first occurrence
+    wins, ``doc_id`` tie-break within a batch). Composes in front of
+    :func:`stream_node_labels` / :func:`stream_pipeline_foreach_batch`."""
+    fp = docs_stream.withColumn("_fp", document_fingerprint_expr())
+    out = stream_dedup_first_seen(
+        fp, key_cols=["_fp"], order_cols=["_fp", "doc_id"], state_ttl=state_ttl
+    )
+    return out.drop("_fp")

@@ -122,3 +122,98 @@ def test_foreach_batch_full_pipeline(spark, staged, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(out_path).count() == n_first
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): duplicates are
+    suppressed ACROSS micro-batches — the second batch's copy of a key
+    already emitted in the first batch produces no row, which per-batch
+    dropDuplicates cannot do."""
+    from osmgraft.streaming.ingest import stream_dedup_first_seen
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # batch 1: keys a, b (a twice — in-batch dup); batch 2: a, b again + c
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("a", 4), ("b", 5), ("c", 6)], "k string, v long"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("k string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = stream_dedup_first_seen(stream, key_cols=["k"], order_cols=["k", "v"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["k"]: r["v"] for r in spark.sql("select * from dedup_stream").collect()}
+    # one row per key; in-batch dup resolved deterministically (min v)
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"] == 1  # not 2 (in-batch order tie-break) and not 4 (cross-batch dup)
+    # the run really was multi-batch (otherwise this proves nothing)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+
+def test_stream_dedup_documents(spark, staged, tmp_path):
+    """Document-level streaming dedup: identical span sequences collapse to
+    the first doc_id; distinct documents all survive."""
+    from osmgraft.streaming.ingest import document_fingerprint_expr, stream_dedup_documents
+
+    docs = spark.read.parquet(f"{staged}/documents.parquet")
+    n_distinct = docs.select(document_fingerprint_expr().alias("f")).distinct().count()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staged}/documents.parquet")
+    )
+    out = stream_dedup_documents(stream)
+    assert out.columns == docs.columns  # fingerprint column dropped
+    q = (
+        out.writeStream.format("memory")
+        .queryName("doc_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_docdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from doc_dedup_stream")
+    assert got.count() == n_distinct
+
+
+def test_stateful_dedup_composes_with_labeling(spark, staged, tmp_path):
+    """Regression: stream_dedup_documents -> stream_node_labels must
+    analyze and run as ONE streaming query. The labeling stage used to
+    self-join its tags and geom-ref branches, which Spark cannot resolve
+    across a stateful FlatMapGroupsInPandasWithState node ("conflicting
+    attributes"); the single-pass projection keeps the lineage linear."""
+    from osmgraft.streaming.ingest import (
+        stream_documents,
+        stream_dedup_documents,
+        stream_node_labels,
+    )
+
+    blobs = spark.read.parquet(f"{staged}/blobs.parquet")
+    stream = stream_documents(spark, f"{staged}/documents.parquet", max_files=2)
+    out = stream_node_labels(stream_dedup_documents(stream), blobs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_labels_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_compose"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.sql("select count(*) c from dedup_labels_stream").collect()[0]["c"] > 0
