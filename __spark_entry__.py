@@ -535,6 +535,36 @@ def _staged_oracle(kind: str) -> str:
     raise ValueError(kind)
 
 
+def _doc_dedup_oracle_sql() -> str:
+    """SQL replica of q_doc_dedup_first: groups by the RAW span-sequence
+    key string (kind US text US media_ref, spans joined with RS) where the
+    Spark side groups by its xxhash64 — results agree iff the fingerprint
+    is injective on the corpus, so the oracle also pins collision-freeness
+    at this scale."""
+    from osmgraft.plans.sql_oracle import stage_pipeline_corpus
+
+    docs_p, _, _ = stage_pipeline_corpus()
+    return f"""
+with base as (select doc_id, spans from read_parquet('{docs_p}')),
+dups as (
+  select 'dup/' || doc_id as doc_id, spans from base
+  where cast(split_part(doc_id, '/', 2) as bigint) % 7 = 0
+),
+allr as (select * from base union all select * from dups),
+keyed as (
+  select doc_id,
+         array_to_string(
+           list_transform(spans, s ->
+             struct_extract(s, 'kind') || chr(31)
+             || coalesce(struct_extract(s, 'text'), '') || chr(31)
+             || coalesce(struct_extract(s, 'media_ref'), '')),
+           chr(30)) as k
+  from allr
+)
+select min(doc_id) as doc_id, count(*) as n_dupes from keyed group by k
+"""
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -1162,6 +1192,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf).select("pid", F.col("pid").alias("rank"), "lat", "lon")
         return dedup_labels(pts, radius_m=200_000.0, rank_col="rank", id_col="pid").select("pid")
 
+    def q_doc_dedup_first(spark, sf):
+        # batch analog of the streaming stateful dedup
+        # (streaming/ingest.stream_dedup_first_seen): first doc_id per
+        # span-sequence fingerprint over the staged interleaved corpus
+        # plus a deterministic duplicated slice (distinct doc_id, same
+        # spans). Groups by the xxhash64 fingerprint; the DuckDB oracle
+        # groups by the raw key string — equal iff the hash is injective
+        # on this corpus (fixed seed, so deterministic).
+        from osmgraft.streaming.ingest import document_fingerprint_expr
+
+        docs, _ = _staged(spark)
+        dup = docs.where(
+            F.split_part(F.col("doc_id"), F.lit("/"), F.lit(2)).cast("long") % 7 == 0
+        ).withColumn("doc_id", F.concat(F.lit("dup/"), F.col("doc_id")))
+        return (
+            docs.unionByName(dup)
+            .withColumn("_fp", document_fingerprint_expr())
+            .groupBy("_fp")
+            .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dupes"))
+            .select("doc_id", "n_dupes")
+        )
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -1201,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_dedup_labels": q_osm_dedup_labels,
         "osm_adaptive_cells": q_osm_adaptive_cells,
         # oracled engine-native queries (SQL replicas on the DuckDB side):
+        "doc_dedup_first": q_doc_dedup_first,
         "s2_cells": q_s2_cells,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
@@ -1455,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "osm_pip_admin": _staged_oracle("pip_admin"),
         "osm_dedup_labels": _staged_oracle("dedup_labels"),
         "osm_adaptive_cells": _staged_oracle("adaptive_cells"),
+        "doc_dedup_first": _doc_dedup_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the

@@ -262,10 +262,17 @@ def document_fingerprint_expr():
     ordered span sequence (kind, text, media_ref) — the span-sequence
     equality invariant, hashed. Two documents with identical span
     sequences collide by construction."""
+    # every field coalesced explicitly: concat_ws SKIPS nulls, which would
+    # make ("a", NULL, "b") collide with ("a", "b", NULL) — and the DuckDB
+    # oracle replica (plans/sql_oracle.doc_dedup_sql) must be able to
+    # reproduce the key string byte-for-byte
     parts = F.transform(
         F.col("spans"),
         lambda s: F.concat_ws(
-            "\x1f", s["kind"], s["text"], F.coalesce(s["media_ref"], F.lit(""))
+            "\x1f",
+            s["kind"],
+            F.coalesce(s["text"], F.lit("")),
+            F.coalesce(s["media_ref"], F.lit("")),
         ),
     )
     return F.xxhash64(F.concat_ws("\x1e", parts))
