@@ -17,6 +17,18 @@ so a killed job resumes at the first incomplete stage):
 
     decode+extract -> rank -> label -> [knn dedup] -> tiles -> sink
 
+Streaming ingest mode (the documents table grows continuously):
+
+    ... osmgraft/job.py --streaming --checkpoint s3://bucket/_ckpt \
+        --docs s3://bucket/documents --blobs s3://bucket/blobs \
+        --out s3://bucket/labels [--dedup-docs [--dedup-ttl "24 hours"]]
+
+Each invocation drains the files not yet recorded in the checkpoint
+(availableNow) through the full pipeline per micro-batch and lands them
+under per-epoch partitions (idempotent overwrite); re-running with the
+same checkpoint processes only NEW files — the streaming counterpart of
+--resume.
+
 In local mode (no cluster) the same file runs under plain `python` for
 smoke testing.
 """
@@ -54,6 +66,30 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dedup-radius-m", type=float, default=0.0, help="0 = no kNN dedup")
     ap.add_argument("--text-format", action="store_true", help="emit K1 text rows instead of parquet")
     ap.add_argument("--export-hierarchy", action="store_true", help="-eh flag: level id instead of rank")
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="ingest --docs as a file stream (one availableNow pass over new "
+        "files; per-epoch idempotent parquet sink). Requires --checkpoint; "
+        "incompatible with --text-format/--stage-dir (streaming resume IS "
+        "the checkpoint) and with --dedup-radius-m (kNN dedup is a global "
+        "pass, run it batch-side after ingest)",
+    )
+    ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir (with --streaming)")
+    ap.add_argument(
+        "--dedup-docs",
+        action="store_true",
+        help="with --streaming: stateful cross-batch first-seen dedup of "
+        "documents by span-sequence fingerprint before labeling",
+    )
+    ap.add_argument(
+        "--dedup-ttl",
+        default=None,
+        help='state TTL horizon for --dedup-docs (e.g. "24 hours"; default unbounded)',
+    )
+    ap.add_argument(
+        "--max-files-per-trigger", type=int, default=64, help="streaming micro-batch size (files)"
+    )
     return ap
 
 
@@ -74,8 +110,42 @@ def main(argv: list[str] | None = None) -> None:
     from osmgraft.sources.config import default_config, load_config
 
     cfg = load_config(args.config) if args.config else default_config()
-    docs = spark.read.parquet(args.docs)
     blobs = spark.read.parquet(args.blobs)
+
+    if args.streaming:
+        if not args.checkpoint:
+            raise SystemExit("--streaming requires --checkpoint")
+        if args.text_format or args.stage_dir or args.dedup_radius_m > 0:
+            raise SystemExit(
+                "--streaming is incompatible with --text-format/--stage-dir/"
+                "--dedup-radius-m (see --help)"
+            )
+        from osmgraft.streaming.ingest import (
+            stream_documents,
+            stream_dedup_documents,
+            stream_pipeline_foreach_batch,
+        )
+
+        stream = stream_documents(spark, args.docs, max_files=args.max_files_per_trigger)
+        if args.dedup_docs:
+            stream = stream_dedup_documents(stream, state_ttl=args.dedup_ttl)
+        q = stream_pipeline_foreach_batch(
+            spark,
+            stream,
+            blobs,
+            args.out,
+            args.checkpoint,
+            cfg=cfg,
+            extra=lambda df: assign_tiles(df, z=args.tile_zoom),
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"status": "ok", "out": args.out, "rows": n, "mode": "streaming"}))
+        if owns_session:
+            spark.stop()
+        return
+
+    docs = spark.read.parquet(args.docs)
 
     def staged(name: str, builder):
         if args.stage_dir:

@@ -95,3 +95,58 @@ def _run_plain(spark, docs, blobs, out):
     with redirect_stdout(buf):
         job.main(["--docs", docs, "--blobs", blobs, "--out", out, "--tile-zoom", "12"])
     return buf.getvalue().strip().splitlines()[-1]
+
+
+def test_job_cli_streaming_incremental(spark, tmp_path, capsys):
+    """--streaming drains the docs dir through the per-epoch pipeline sink;
+    rerunning with the SAME checkpoint after new files arrive processes
+    only the new documents (the streaming counterpart of --resume)."""
+    import shutil
+
+    from osmgraft import job
+
+    docs, blobs = _write_inputs(spark, tmp_path)
+    # stream source dir we control file arrival in
+    src = str(tmp_path / "stream_docs")
+    os.makedirs(src)
+    parts = sorted(
+        f for f in os.listdir(docs) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    assert len(parts) >= 4
+    for f in parts[:2]:
+        shutil.copy(os.path.join(docs, f), os.path.join(src, f))
+
+    out = str(tmp_path / "labels_stream")
+    ckpt = str(tmp_path / "ckpt_job_stream")
+    argv = [
+        "--docs", src, "--blobs", blobs, "--out", out,
+        "--streaming", "--checkpoint", ckpt, "--dedup-docs",
+        "--max-files-per-trigger", "1", "--tile-zoom", "12",
+    ]
+    job.main(argv)
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n1 > 0
+
+    # new files arrive; same checkpoint -> only they are processed
+    for f in parts[2:]:
+        shutil.copy(os.path.join(docs, f), os.path.join(src, f))
+    job.main(argv)
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"]
+    assert n2 > n1
+
+    # the union equals the one-shot batch pipeline over all files
+    from osmgraft.operators.tiles import assign_tiles
+    from osmgraft.plans.pipeline import label_pipeline
+
+    want = assign_tiles(
+        label_pipeline(spark, spark.read.parquet(src), spark.read.parquet(blobs)), z=12
+    )
+    got_set = {(r["osm_id"], r["label"]) for r in spark.read.parquet(out).collect()}
+    want_set = {(r["osm_id"], r["label"]) for r in want.collect()}
+    assert got_set == want_set
+
+    # guard rails: config conflicts fail fast
+    with pytest.raises(SystemExit):
+        job.main(argv + ["--text-format"])
+    with pytest.raises(SystemExit):
+        job.main(["--docs", src, "--blobs", blobs, "--out", out, "--streaming"])
