@@ -23,6 +23,12 @@ grows continuously:
   appends to a parquet/lineage stage; resume is the sink's idempotent
   overwrite per epoch id. This is the shape the north_rule's
   checkpoint/resume rails expect.
+- ``stream_dedup_first_seen`` / ``stream_dedup_documents``: custom
+  STATEFUL operator (``applyInPandasWithState``) — exact first-occurrence
+  dedup across micro-batches (one boolean of state per key, optional TTL
+  horizon); the document variant keys on the span-sequence fingerprint
+  and composes in front of the labelers. CLI: ``job.py --streaming
+  [--dedup-docs]``.
 """
 
 from __future__ import annotations
