@@ -153,7 +153,11 @@ def _parse_cmap(data: bytes, off: int) -> dict[int, int]:
         deltas = struct.unpack_from(f">{seg}h", data, best_off + 16 + 2 * seg_x2)
         ro_base = best_off + 16 + 3 * seg_x2
         range_offsets = struct.unpack_from(f">{seg}H", data, ro_base)
+        covered = 0  # valid segments are ascending + disjoint: total <= 0x10000
         for s in range(seg):
+            covered += max(0, min(ends[s], 0xFFFE) - starts[s] + 1)
+            if covered > 0x10000:
+                raise ValueError("cmap4 segments cover more than the 16-bit code space")
             for code in range(starts[s], min(ends[s], 0xFFFE) + 1):
                 if range_offsets[s] == 0:
                     gid = (code + deltas[s]) & 0xFFFF
@@ -166,8 +170,17 @@ def _parse_cmap(data: bytes, off: int) -> dict[int, int]:
                     out[code] = gid
     elif fmt == 12:
         (n_groups,) = struct.unpack_from(">I", data, best_off + 12)
+        covered = 0
         for g in range(n_groups):
             start, end, start_gid = struct.unpack_from(">III", data, best_off + 16 + 12 * g)
+            # 32-bit bounds are untrusted: one flipped byte must not turn
+            # this into a multi-billion-iteration loop / dict bomb. No
+            # valid codepoint exceeds U+10FFFF and groups are disjoint.
+            if end < start or end > 0x10FFFF:
+                raise ValueError(f"cmap12 group range invalid: {start:#x}..{end:#x}")
+            covered += end - start + 1
+            if covered > 0x110000:
+                raise ValueError("cmap12 groups cover more than the Unicode code space")
             for code in range(start, end + 1):
                 out[code] = start_gid + (code - start)
     else:
@@ -201,8 +214,14 @@ def _parse_coverage(data: bytes, off: int) -> dict[int, int]:
     if fmt == 2:
         (n,) = struct.unpack_from(">H", data, off + 2)
         cov: dict[int, int] = {}
+        covered = 0  # valid ranges are ascending + disjoint: total <= 0x10000
         for r in range(n):
             start, end, start_idx = struct.unpack_from(">HHH", data, off + 4 + 6 * r)
+            if end < start:
+                raise ValueError(f"coverage range reversed: {start}..{end}")
+            covered += end - start + 1
+            if covered > 0x10000:
+                raise ValueError("coverage ranges exceed the glyph id space")
             for g in range(start, end + 1):
                 cov[g] = start_idx + (g - start)
         return cov

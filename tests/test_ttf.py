@@ -366,3 +366,66 @@ def test_malformed_repeat_flag_raises(tmp_path):
     data = hdr + bytes([0x09, 200])  # on-curve | REPEAT, count 200
     with pytest.raises(ValueError, match="REPEAT"):
         _parse_simple_glyph(data, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# adversarial-bytes bombs: loops whose iteration count is NOT bounded by the
+# payload size (fuzz-found: a single byte flip in a 356-byte font turned the
+# cmap12 group walk into a multi-billion-iteration hang + dict bomb)
+# ---------------------------------------------------------------------------
+
+
+def _cmap12(groups: list[tuple[int, int, int]]) -> bytes:
+    import struct
+
+    hdr = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12)
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups))
+    return hdr + sub + b"".join(struct.pack(">III", *g) for g in groups)
+
+
+def test_cmap12_huge_group_raises_fast():
+    import time
+
+    from osmgraft.functions.ttf import _parse_cmap
+
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="cmap12"):
+        _parse_cmap(_cmap12([(0, 0xFFFF_FFFE, 1)]), 0)
+    with pytest.raises(ValueError, match="cmap12"):  # reversed range
+        _parse_cmap(_cmap12([(0xFFFF_0000, 0x61_FFFF, 1)]), 0)
+    with pytest.raises(ValueError, match="cmap12"):  # cumulative overflow
+        _parse_cmap(_cmap12([(0, 0x10FFFF, 1), (0, 0x10FFFF, 1)]), 0)
+    assert time.monotonic() - t0 < 5.0
+    # a full-Unicode single group is spec-valid and must still parse
+    out = _parse_cmap(_cmap12([(0x41, 0x5A, 1)]), 0)
+    assert out[0x41] == 1 and out[0x5A] == 1 + 0x5A - 0x41
+
+
+def test_cmap4_overlapping_segments_raise():
+    import struct
+
+    from osmgraft.functions.ttf import _parse_cmap
+
+    seg = 3  # three segments each claiming the full 16-bit space
+    hdr = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12)
+    sub = struct.pack(">HHHHHHH", 4, 0, 0, seg * 2, 0, 0, 0)
+    ends = struct.pack(f">{seg}H", *([0xFFFE] * seg)) + b"\x00\x00"  # + pad
+    starts = struct.pack(f">{seg}H", 0, 0, 0)
+    deltas = struct.pack(f">{seg}h", 1, 1, 1)
+    ros = struct.pack(f">{seg}H", 0, 0, 0)
+    with pytest.raises(ValueError, match="cmap4"):
+        _parse_cmap(hdr + sub + ends + starts + deltas + ros, 0)
+
+
+def test_coverage_overlapping_ranges_raise():
+    import struct
+
+    from osmgraft.functions.ttf import _parse_coverage
+
+    data = struct.pack(">HH", 2, 3) + b"".join(
+        struct.pack(">HHH", 0, 0xFFFF, 0) for _ in range(3)
+    )
+    with pytest.raises(ValueError, match="coverage"):
+        _parse_coverage(data, 0)
+    with pytest.raises(ValueError, match="reversed"):
+        _parse_coverage(struct.pack(">HH", 2, 1) + struct.pack(">HHH", 9, 3, 0), 0)
