@@ -149,9 +149,24 @@ def mutate(payload: bytes, rng: random.Random) -> tuple[bytes, str]:
     return bytes(b), f"swap@{i},{j}"
 
 
+class _Hang(Exception):
+    """A decoder call exceeded WALL_LIMIT_S of *wall clock* — raised from
+    SIGALRM so a true infinite loop is REPORTED instead of wedging the
+    campaign (the post-hoc `dt > WALL_LIMIT_S` check can only fire after
+    the call returns, which a hang never does; a real hang was found and
+    fixed in the cmap12 group walk, see ttf.py)."""
+
+
+def _alarm_handler(_sig, _frm):
+    raise _Hang()
+
+
 def main() -> int:
+    import signal
+
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260818
+    signal.signal(signal.SIGALRM, _alarm_handler)
     failures = 0
     for name, (payload, fn) in seeds().items():
         rng = random.Random(f"{seed}:{name}")
@@ -166,10 +181,14 @@ def main() -> int:
                 mutated, d2 = mutate(mutated, rng)
                 desc = f"{desc}+{d2}"
             t0 = time.monotonic()
+            signal.setitimer(signal.ITIMER_REAL, WALL_LIMIT_S)
             try:
                 fn(mutated)
             except ALLOWED:
                 pass
+            except _Hang:
+                failures += 1
+                print(f"FAIL {name} it={it} mut={desc}: HANG > {WALL_LIMIT_S}s (SIGALRM)")
             except Exception as exc:  # noqa: BLE001 — the point of the fuzzer
                 failures += 1
                 print(
@@ -179,11 +198,9 @@ def main() -> int:
                 if failures > 40:
                     print("... stopping after 40 failures")
                     return 1
-            dt = time.monotonic() - t0
-            slow = max(slow, dt)
-            if dt > WALL_LIMIT_S:
-                failures += 1
-                print(f"FAIL {name} it={it} mut={desc}: wall {dt:.1f}s > {WALL_LIMIT_S}s")
+            finally:
+                signal.setitimer(signal.ITIMER_REAL, 0)
+            slow = max(slow, time.monotonic() - t0)
         print(f"ok   {name}: {iters} mutations, max wall {slow*1000:.0f} ms")
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
