@@ -47,14 +47,27 @@ def pack_segment(role: int, way_id: int, node_ids, lats, lons) -> bytes:
 
 
 def unpack(payload: bytes) -> dict:
-    """Decode one blob -> dict (used inside Arrow batch kernels and tests)."""
+    """Decode one blob -> dict (used inside Arrow batch kernels and tests).
+
+    Untrusted-bytes contract (same as the multimodal codecs): any
+    malformed payload raises ``ValueError`` — never ``IndexError`` /
+    ``struct.error`` — so a corrupt blob in the 10^12-doc table surfaces
+    as the documented error instead of an opaque executor task death."""
+    if not payload:
+        raise ValueError("empty geometry blob")
     kind = payload[0]
     if kind == KIND_POINT:
+        if len(payload) < 17:
+            raise ValueError(f"point blob truncated: {len(payload)} < 17 bytes")
         lat, lon = struct.unpack_from("<dd", payload, 1)
         return {"kind": kind, "lat": lat, "lon": lon}
     if kind == KIND_SEGMENT:
+        if len(payload) < 14:
+            raise ValueError(f"segment blob header truncated: {len(payload)} < 14 bytes")
         role, way_id, n = struct.unpack_from("<Bqi", payload, 1)
         off = 1 + 13
+        if n < 0 or off + 24 * n > len(payload):
+            raise ValueError(f"segment blob claims {n} nodes, payload holds {len(payload)} bytes")
         node_ids = np.frombuffer(payload, dtype="<i8", count=n, offset=off)
         lats = np.frombuffer(payload, dtype="<f8", count=n, offset=off + 8 * n)
         lons = np.frombuffer(payload, dtype="<f8", count=n, offset=off + 16 * n)

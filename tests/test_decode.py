@@ -178,3 +178,24 @@ def test_population_duplicate_names_no_fanout(spark, tmp_path):
     rows = apply_population(pois, pop).collect()
     assert len(rows) == 2  # no fanout
     assert {r["osm_id"]: r["population"] for r in rows} == {1: 9000, 2: 300}
+
+
+def test_unpack_malformed_blobs_raise_valueerror():
+    """Untrusted-bytes contract: only ValueError may escape (a corrupt blob
+    in the production table must not kill the kernel with IndexError /
+    struct.error). Fuzz-driven: these exact shapes previously escaped."""
+    import pytest
+
+    seg = geoblob.pack_segment(0, 1, [1, 2, 3], [0.0, 1.0, 2.0], [0.0, 1.0, 2.0])
+    cases = [
+        b"",                                   # empty
+        b"\x02",                               # kind byte only
+        geoblob.pack_point(1.0, 2.0)[:-3],     # truncated point
+        seg[:-7],                              # truncated segment body
+        seg[:13],                              # truncated segment header
+        b"\x02\x00" + (123).to_bytes(8, "little") + (-5).to_bytes(4, "little", signed=True),
+        b"\x02\x00" + (123).to_bytes(8, "little") + (2**31 - 1).to_bytes(4, "little") + b"\x00" * 64,
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            geoblob.unpack(payload)

@@ -25,6 +25,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 from osmgraft.functions.ttf import parse_ttf
+from osmgraft.sources import geoblob
 from osmgraft.operators.jpegcodec import decode_jpeg, encode_jpeg_baseline, encode_jpeg_progressive
 from osmgraft.operators.multimodal import (
     decode_media,
@@ -117,6 +118,12 @@ def seeds() -> dict[str, tuple[bytes, object]]:
         "ttf": (_ttf_seed(), _parse_ttf_bytes),
         # the dispatch seam itself (mime sniff + route)
         "decode_media": (_png_seed(), lambda b: decode_media(b, "image/png")),
+        # geometry blobs: the flagship decode path's own media format
+        "geoblob_point": (geoblob.pack_point(48.1, 11.5), geoblob.unpack),
+        "geoblob_segment": (
+            geoblob.pack_segment(0, 42, [1, 2, 3], [48.0, 48.1, 48.2], [11.0, 11.1, 11.2]),
+            geoblob.unpack,
+        ),
     }
 
 
