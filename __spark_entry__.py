@@ -911,6 +911,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = embedding_dup_pairs(emb.unionByName(dup), threshold=0.99, exact=True)
         return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
+    # --- curation: benchmark n-gram decontamination ------------------------------
+    def q_decontaminate(spark, sf):
+        from osmgraft.operators.curation import contaminated_ids
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        bench = d.where(F.col("doc_id") % 10 == 7)  # scale-proportional eval set
+        corpus = d.where(F.col("doc_id") % 10 != 7)
+        out = contaminated_ids(corpus, bench, n=3, min_shared=2)
+        return out.select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+
+    # --- curation: within-doc repetition signals (Gopher rules) -------------------
+    def q_repetition(spark, sf):
+        from osmgraft.operators.curation import repetition_features
+
+        d = _read(spark, sf, "documents").where(F.col("doc_id") < 300)
+        return repetition_features(d)
+
+    # --- curation: deterministic stratified sampling ------------------------------
+    def q_stratified_sample(spark, sf):
+        from osmgraft.operators.curation import stratified_sample
+
+        d = _read(spark, sf, "documents").select("doc_id", "lang")
+        # sql_exact: the Knuth-arithmetic hash the DuckDB oracle replays
+        # bit-for-bit (the library default is xxhash64)
+        return stratified_sample(
+            d, {"en": 0.8, "de": 0.5, "fr": 0.25}, strata_col="lang", seed=5, sql_exact=True
+        )
+
+    # --- curation: domain mixture resampling --------------------------------------
+    def q_mix_domains(spark, sf):
+        from osmgraft.operators.curation import mix_domains
+
+        d = _read(spark, sf, "documents").select("doc_id", "lang")
+        return mix_domains(
+            d, {"en": 0.5, "de": 0.3, "fr": 0.2}, domain_col="lang", seed=9, sql_exact=True
+        )
+
     # --- text quality ------------------------------------------------------------
     def q_quality(spark, sf):
         from osmgraft.operators.textstats import quality_features
@@ -1240,6 +1277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
+        "decontaminate_ngrams": q_decontaminate,
+        "repetition_features": q_repetition,
+        "stratified_sample": q_stratified_sample,
+        "mix_domains": q_mix_domains,
         "embedding_dup_pairs": q_embedding_dup,
         "text_quality": q_quality,
         "lang_id": q_lang_id,
@@ -1464,6 +1505,55 @@ def oracle_sql() -> dict[str, str]:
             "select id_a, id_b, round(cast(i as double)/(sa.sz + sb.sz - i), 4) as jaccard "
             "from inter join sizes sa on id_a = sa.id join sizes sb on id_b = sb.id "
             "where cast(i as double)/(sa.sz + sb.sz - i) >= 0.4"
+        ),
+        # word_shingles_expr replica: distinct 3-grams, whole-doc gram below 3 words
+        "decontaminate_ngrams": (
+            "with d as (select doc_id, text from documents), "
+            f"cw as (select doc_id, {tok} as ws from d where doc_id % 10 != 7), "
+            f"bw as (select {tok} as ws from d where doc_id % 10 = 7), "
+            "cg as (select doc_id, unnest(case when len(ws) >= 3 then "
+            "list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) "
+            "else [array_to_string(ws, ' ')] end) as g from cw), "
+            "bg as (select distinct g from (select unnest(case when len(ws) >= 3 then "
+            "list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) "
+            "else [array_to_string(ws, ' ')] end) as g from bw)) "
+            "select doc_id, cast(count(*) as bigint) as n_shared "
+            "from cg join bg using (g) group by doc_id having count(*) >= 2"
+        ),
+        "repetition_features": (
+            "with d as (select doc_id, text from documents where doc_id < 300), "
+            f"w as (select doc_id, unnest({tok}) as g from d), "
+            "wc as (select doc_id, g, count(*) as c from w group by 1, 2), "
+            "wa as (select doc_id, cast(sum(c) as bigint) as n_words, "
+            "cast(count(*) as bigint) as n_distinct_words, "
+            "cast(max(c) as bigint) as top_word_count from wc group by 1), "
+            f"bl as (select doc_id, {tok} as ws from d), "
+            "b as (select doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) as g from bl), "
+            "bc as (select doc_id, g, count(*) as c from b group by 1, 2), "
+            "ba as (select doc_id, cast(sum(c) as bigint) as bt, "
+            "cast(max(c) as bigint) as btop from bc group by 1) "
+            "select wa.doc_id, n_words, n_distinct_words, "
+            "round(n_distinct_words * 1.0 / n_words, 4) as distinct_frac, "
+            "top_word_count, round(top_word_count * 1.0 / n_words, 4) as top_word_frac, "
+            "coalesce(btop, cast(0 as bigint)) as top_bigram_count, "
+            "round(coalesce(btop * 1.0 / bt, 0.0), 4) as top_bigram_frac "
+            "from wa left join ba on wa.doc_id = ba.doc_id"
+        ),
+        # Knuth hash replica of sample_hash01(sql_exact=True), seed 5
+        "stratified_sample": (
+            "select doc_id, lang from documents where "
+            "(((doc_id % 2147483648) + 5) * 2654435761 % 4294967296) / 4294967296.0 < "
+            "case lang when 'en' then 0.8 when 'de' then 0.5 when 'fr' then 0.25 else 0.0 end"
+        ),
+        # mix_domains replica: feasible-total rate derivation + seed-9 Knuth hash
+        "mix_domains": (
+            "with t(lang, tgt) as (values ('en', 0.5), ('de', 0.3), ('fr', 0.2)), "
+            "c as (select lang, cast(count(*) as double) as cnt from documents "
+            "where lang in ('en', 'de', 'fr') group by 1), "
+            "f as (select min(cnt / tgt) as feas from c join t using (lang)), "
+            "r as (select lang, least(feas * tgt / cnt, 1.0) as rate from c join t using (lang), f) "
+            "select doc_id, d.lang from documents d join r on d.lang = r.lang where "
+            "(((doc_id % 2147483648) + 9) * 2654435761 % 4294967296) / 4294967296.0 < rate"
         ),
         "text_quality": (
             f"select doc_id, length(text) as n_chars, "

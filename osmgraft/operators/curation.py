@@ -1,0 +1,258 @@
+"""Training-corpus curation operators: benchmark decontamination,
+within-document repetition signals, deterministic hash sampling,
+stratified sampling and domain mixing.
+
+These are the curation steps a pretraining pipeline runs between dedup
+(:mod:`osmgraft.operators.dedup`) and the final shard write — each one
+DataFrame-first and DuckDB-oracle-checkable value-for-value:
+
+- decontamination: drop corpus documents that share word n-grams with a
+  benchmark/eval set (the standard test-set-leakage guard). The
+  benchmark side is SMALL by definition (eval suites are thousands of
+  documents, the corpus is 10^12), so its distinct-gram table is
+  BROADCAST: the 100-TB corpus side stays a narrow explode + broadcast
+  semi-join + per-doc count — no all-corpus shuffle of gram strings.
+- repetition signals: Gopher-style (Rae et al. 2021, public) fractions
+  of the document covered by its most frequent word / word-bigram, plus
+  the distinct-word ratio — the classic "looped generation" detectors.
+  Explode + two-level groupBy keyed on (doc_id, gram): shuffle volume
+  is proportional to corpus token count (the unavoidable floor for any
+  exact per-doc mode computation) and the key includes doc_id, so
+  hot-token skew cannot concentrate on one reducer.
+- deterministic sampling: keep a row iff ``hash(id, seed)/2^32 <
+  fraction``. Zero-shuffle, zero-RNG-state: reproducible across runs,
+  retries and engines (the whole point at 10^12 rows — Spark's native
+  ``df.sample`` is neither stable under task retry nor replayable in an
+  external system). Stratified sampling is the same filter with the
+  fraction looked up per-stratum from a literal map — still narrow.
+- domain mixing: hit a target mixture (e.g. 50% web / 30% code / 20%
+  books) by computing, from per-domain counts, the largest total corpus
+  achievable without over-drawing any domain, then hash-sampling each
+  domain at its implied rate. One tiny count aggregate (rows = number
+  of domains) crosses the driver; the filter itself is narrow.
+
+Hash replayability: the default id hash is Spark's ``xxhash64`` (JVM,
+whole-stage codegen). For oracle parity with engines that lack xxhash64
+(DuckDB), ``sql_exact=True`` switches to a Knuth multiplicative hash on
+the integer id — ``((id mod 2^31) + seed) * 2654435761 mod 2^32`` —
+pure int64 arithmetic that evaluates bit-identically in any ANSI SQL
+engine (the ``mod 2^31`` pre-reduction keeps the product inside int64:
+(2^31)(2654435761) < 2^63, so neither engine's overflow semantics is
+ever exercised). Ids >= 2^31 alias pairwise under the pre-reduction;
+fine for sampling tests, use the default xxhash64 path in production.
+
+Reference scope note: the reference engine (krumpefp/osm_input) has no
+curation analogue — these operators cover the builder-brief
+training-data-pipeline surface, same as dedup.py/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from osmgraft.operators.dedup import tokens_expr, word_shingles_expr
+
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant (2^32 / phi)
+_MOD32 = 4294967296
+
+
+# --- deterministic hash sampling ---------------------------------------------
+
+
+def sample_hash01(id_col: Column, seed: int = 0, sql_exact: bool = False) -> Column:
+    """Uniform-ish double in [0, 1), a pure function of (id, seed).
+
+    Default: ``xxhash64`` (codegen, any input type). ``sql_exact``:
+    the int64-safe Knuth hash documented in the module header —
+    bit-replayable as ANSI SQL, integer ids only."""
+    if sql_exact:
+        h = F.pmod((F.pmod(id_col.cast("bigint"), F.lit(2**31)) + F.lit(seed)) * F.lit(_KNUTH), F.lit(_MOD32))
+        return h / F.lit(float(_MOD32))
+    # xxhash64 is signed; shift into [0, 2^64) as double then normalize
+    return (F.xxhash64(id_col, F.lit(seed)).cast("double") + F.lit(float(2**63))) / F.lit(float(2**64))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    sql_exact: bool = False,
+) -> DataFrame:
+    """Deterministic ``fraction``-rate sample: keep iff hash01 < fraction.
+
+    Narrow (no shuffle, no RNG state); stable under task retry and
+    re-runs, and the complement (``>=``) is the exact held-out set."""
+    return df.where(sample_hash01(F.col(id_col), seed, sql_exact) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+    sql_exact: bool = False,
+) -> DataFrame:
+    """Per-stratum deterministic sampling in ONE narrow filter.
+
+    ``fractions`` maps stratum value -> keep rate; strata absent from
+    the map keep at ``default_fraction`` (0.0 = drop, the explicit-
+    allowlist default). The map ships as a literal expression — no join,
+    no shuffle, scales to any corpus size at scan speed."""
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    frac = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)), F.lit(float(default_fraction))
+    )
+    return df.where(sample_hash01(F.col(id_col), seed, sql_exact) < frac)
+
+
+def mix_domains(
+    df: DataFrame,
+    target: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    sql_exact: bool = False,
+) -> DataFrame:
+    """Resample to a target domain mixture, keeping as much data as the
+    mixture allows.
+
+    With per-domain counts ``c_d`` and target proportions ``t_d`` (must
+    cover the domains to keep; others drop), the largest feasible total
+    is ``T = min_d(c_d / t_d)`` — the binding domain is kept whole, every
+    other domain downsamples to ``T * t_d`` rows (in expectation) via
+    :func:`hash_sample` at rate ``T * t_d / c_d``.
+
+    Cost: one count aggregate whose result has one row PER DOMAIN
+    (collected to the driver — domains are O(10^1..10^3), never data-
+    scale), then one narrow filter over the corpus."""
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(domain_col).isin(list(target)))
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    }
+    missing = [d for d in target if d not in counts]
+    if missing:
+        raise ValueError(f"mix_domains: no rows for target domains {missing}")
+    feasible_total = min(counts[d] / t for d, t in target.items() if t > 0)
+    rates = {d: min(feasible_total * t / counts[d], 1.0) for d, t in target.items()}
+    return stratified_sample(
+        df, rates, strata_col=domain_col, id_col=id_col, seed=seed, sql_exact=sql_exact
+    )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """``(id_col, n_shared)`` for every corpus document sharing at least
+    ``min_shared`` DISTINCT word ``n``-grams with the benchmark set.
+
+    Shape for 10^12 docs: the benchmark's distinct grams (small by
+    definition — eval suites, not corpora) are globally deduped and
+    BROADCAST; the corpus side is a narrow distinct-gram explode feeding
+    a broadcast inner join, then one groupBy(``id_col``) count. The only
+    corpus-wide shuffle is that final per-doc count, carrying ONLY the
+    contaminated (doc, gram-hit) rows — in a healthy corpus a tiny
+    fraction of the input. ``n=13`` is the conventional leakage window;
+    both sides tokenize identically to :func:`osmgraft.operators.dedup
+    .word_shingles_expr` (docs shorter than ``n`` words contribute one
+    whole-document gram)."""
+    bench_text = bench_text_col or text_col
+    bgrams = bench.select(
+        F.explode(word_shingles_expr(F.col(bench_text), n)).alias("_g")
+    ).distinct()
+    dgrams = docs.select(
+        F.col(id_col), F.explode(word_shingles_expr(F.col(text_col), n)).alias("_g")
+    )
+    hits = dgrams.join(F.broadcast(bgrams), "_g")
+    out = hits.groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    return out.where(F.col("n_shared") >= min_shared)
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Corpus minus contaminated documents (left-anti on the flagged id
+    set). Same cost shape as :func:`contaminated_ids` plus one semi-join
+    keyed on the id — the flagged side is small, so it broadcasts."""
+    flagged = contaminated_ids(docs, bench, n, min_shared, text_col, id_col, bench_text_col)
+    return docs.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+
+
+# --- within-doc repetition signals (Gopher rules) -----------------------------
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition signals: ``n_words``, ``n_distinct_words``,
+    ``distinct_frac``, ``top_word_count``, ``top_word_frac``,
+    ``top_bigram_count``, ``top_bigram_frac``.
+
+    ``top_word_frac`` / ``top_bigram_frac`` are the fraction of the
+    document's word (bigram) positions occupied by its single most
+    frequent word (bigram) — the Gopher "repetition" family's cheapest
+    members; looped-generation spam scores near 1.0, natural text well
+    below 0.2. Single-word documents have no bigram: count 0, frac 0.
+
+    Execution: explode words/bigrams, count per (doc, gram), then reduce
+    per doc — both shuffles are keyed by (doc_id, gram) then doc_id, so
+    planet-frequency tokens spread across docs rather than piling on one
+    reducer, and the second shuffle carries one row per DISTINCT gram
+    per doc. Exact (no sketch); shuffle volume ~ token count, the floor
+    for exact per-doc modes."""
+    words = tokens_expr(F.col(text_col))
+    bigrams = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+    )
+    base = df.select(
+        F.col(id_col), words.alias("_ws"), F.filter(bigrams, lambda x: x.isNotNull()).alias("_bs")
+    )
+
+    def mode_stats(col: str, out_prefix: str) -> DataFrame:
+        g = base.select(F.col(id_col), F.explode(col).alias("_g"))
+        per = g.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        return per.groupBy(id_col).agg(
+            F.sum("_c").alias(f"{out_prefix}_total"),
+            F.count("*").alias(f"{out_prefix}_distinct"),
+            F.max("_c").alias(f"{out_prefix}_top"),
+        )
+    w = mode_stats("_ws", "w")
+    b = mode_stats("_bs", "b")
+    out = w.join(b, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("w_total").alias("n_words"),
+        F.col("w_distinct").alias("n_distinct_words"),
+        F.round(F.col("w_distinct") / F.col("w_total"), 4).alias("distinct_frac"),
+        F.col("w_top").alias("top_word_count"),
+        F.round(F.col("w_top") / F.col("w_total"), 4).alias("top_word_frac"),
+        F.coalesce(F.col("b_top"), F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.coalesce(F.col("b_top") / F.col("b_total"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+    )

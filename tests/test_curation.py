@@ -1,0 +1,207 @@
+"""Corpus-curation operators: decontamination, repetition signals,
+deterministic/stratified sampling, domain mixing
+(osmgraft/operators/curation.py). Hand-built micro-corpora pin exact
+values; the sf0.001 documents table pins distribution-level behavior;
+plan assertions pin the broadcast/narrow shapes the 100-TB story
+depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.curation import (
+    contaminated_ids,
+    decontaminate,
+    hash_sample,
+    mix_domains,
+    repetition_features,
+    sample_hash01,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# --- decontamination -----------------------------------------------------------
+
+
+def test_contaminated_ids_flags_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over nothing"),  # shares 13-grams? no — n=3 grams
+            (2, "completely unrelated words about spark shuffles and joins"),
+            (3, "quick brown fox appears here too"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in contaminated_ids(docs, bench, n=3).collect()
+    }
+    # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps',
+    # 'fox jumps over'; doc 3 shares 'quick brown fox'; doc 2 shares none
+    assert out[1] == 4
+    assert out[3] == 1
+    assert 2 not in out
+
+
+def test_contaminated_ids_counts_distinct_grams_once(spark):
+    # a doc repeating the leaked trigram 3x still counts it ONCE
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id bigint, text string")
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")], "doc_id bigint, text string")
+    out = contaminated_ids(docs, bench, n=3).collect()
+    assert out[0]["n_shared"] == 1
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    bench = spark.createDataFrame([(0, "x y z w q")], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "x y z and more"), (2, "clean document body"), (3, "w q alone")],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(docs, bench, n=3).collect())
+    # doc 1 shares 'x y z'; doc 3 is 3 words but its gram 'w q alone' is
+    # not a bench gram; doc 2 clean
+    assert kept == [2, 3]
+
+
+def test_contamination_short_doc_whole_gram_semantics(spark):
+    # docs shorter than n emit the whole doc as one gram — a 2-word doc
+    # equal to a 2-word bench doc collides even at n=13
+    bench = spark.createDataFrame([(0, "tiny doc")], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny document")], "doc_id bigint, text string"
+    )
+    out = [r["doc_id"] for r in contaminated_ids(docs, bench, n=13).collect()]
+    assert out == [1]
+
+
+def test_contamination_plan_broadcasts_bench(spark, docs):
+    bench = docs.where(F.col("doc_id") >= 50).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 50).select("doc_id", "text")
+    plan = contaminated_ids(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# --- repetition features --------------------------------------------------------
+
+
+def test_repetition_features_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "solo")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4 and r1["n_distinct_words"] == 2
+    assert r1["top_word_count"] == 3 and r1["top_word_frac"] == 0.75
+    # bigrams of doc 1: 'a a','a a','a b' -> top 'a a' 2 of 3
+    assert r1["top_bigram_count"] == 2 and r1["top_bigram_frac"] == round(2 / 3, 4)
+    r2 = rows[2]
+    assert r2["top_word_frac"] == 0.25 and r2["top_bigram_count"] == 1
+    r3 = rows[3]  # single word: no bigram positions
+    assert r3["n_words"] == 1 and r3["top_bigram_count"] == 0 and r3["top_bigram_frac"] == 0.0
+
+
+def test_repetition_flags_looped_spam(spark, docs):
+    spam = spark.createDataFrame(
+        [(10_000, ("buy now " * 50).strip())], "doc_id bigint, text string"
+    )
+    feats = repetition_features(docs.select("doc_id", "text").unionByName(spam))
+    top = feats.orderBy(F.desc("top_bigram_frac")).first()
+    assert top["doc_id"] == 10_000 and top["top_bigram_frac"] > 0.49
+    # natural synth docs stay far from the spam score
+    assert (
+        feats.where(F.col("doc_id") != 10_000)
+        .agg(F.max("top_bigram_frac"))
+        .first()[0]
+        < 0.3
+    )
+
+
+# --- deterministic sampling ------------------------------------------------------
+
+
+def test_hash_sample_rate_determinism_and_complement(spark, docs):
+    a = hash_sample(docs, 0.3, seed=7)
+    b = hash_sample(docs, 0.3, seed=7)
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b  # rerun-stable
+    n = docs.count()
+    assert abs(len(ids_a) / n - 0.3) < 0.08
+    # complement is the exact held-out set
+    held = docs.where(sample_hash01(F.col("doc_id"), 7) >= F.lit(0.3))
+    assert held.count() + len(ids_a) == n
+    # different seed -> different draw
+    ids_c = {r["doc_id"] for r in hash_sample(docs, 0.3, seed=8).select("doc_id").collect()}
+    assert ids_c != ids_a
+
+
+def test_hash_sample_is_narrow(spark, docs):
+    plan = hash_sample(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle: filter over the scan
+
+
+def test_stratified_sample_rates(spark, docs):
+    frac = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    out = stratified_sample(docs, frac, strata_col="lang", seed=3)
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    base = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got["en"] == base["en"]  # rate 1.0 keeps everything
+    assert "fr" not in got and "es" not in got and "zh" not in got  # 0.0 + default 0.0
+    assert 0 < got["de"] < base["de"]
+
+
+def test_stratified_default_fraction_keeps_unlisted(spark, docs):
+    out = stratified_sample(docs, {"en": 0.0}, strata_col="lang", default_fraction=1.0)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs and {"de", "fr"} <= langs
+
+
+def test_mix_domains_hits_target_mixture(spark, docs):
+    target = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = mix_domains(docs, target, domain_col="lang", seed=11).cache()
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(got.values())
+    base = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    feasible = min(base[d] / t for d, t in target.items())
+    # the binding domain is kept (nearly) whole; proportions near target
+    for d, t in target.items():
+        assert abs(got.get(d, 0) / total - t) < 0.12
+    assert total <= sum(base[d] for d in target)
+    assert total > 0.5 * feasible
+    out.unpersist()
+
+
+def test_mix_domains_missing_domain_raises(spark, docs):
+    with pytest.raises(ValueError, match="no rows"):
+        mix_domains(docs, {"klingon": 1.0}, domain_col="lang")
+
+
+def test_sql_exact_hash_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]
+        for r in hash_sample(df, 0.25, seed=5, sql_exact=True).collect()
+    }
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            "select i from range(0, 1000) t(i) where "
+            "(((i % 2147483648) + 5) * 2654435761 % 4294967296) / 4294967296.0 < 0.25"
+        ).fetchall()
+    }
+    assert got == want and 150 < len(got) < 350
