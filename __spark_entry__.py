@@ -948,6 +948,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, {"en": 0.5, "de": 0.3, "fr": 0.2}, domain_col="lang", seed=9, sql_exact=True
         )
 
+    # --- curation: C4 boilerplate line removal -------------------------------------
+    def q_boilerplate(spark, sf):
+        from osmgraft.operators.curation import remove_duplicate_lines
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        # synth docs are single-line word soup; derive deterministic 2-word
+        # pseudo-lines so corpus-level line frequency is non-trivial
+        ws = F.split(F.trim(F.col("text")), r"\s+")
+        n_lines = F.ceil(F.size(ws) / F.lit(2.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(ws, i * 2 + 1, 2), " "),
+        )
+        lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+        return remove_duplicate_lines(lined, min_df=12)
+
+    # --- curation: PII redaction ----------------------------------------------------
+    def q_pii_redact(spark, sf):
+        from osmgraft.operators.curation import redact_pii
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        # inject deterministic synthetic PII (the corpus itself has none)
+        t2 = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" reach admin@example.com or 192.168.1.77"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" dial +1 555 0100 now")).otherwise(
+                F.lit("")
+            ),
+        )
+        return redact_pii(d.select("doc_id", t2.alias("text")))
+
     # --- text quality ------------------------------------------------------------
     def q_quality(spark, sf):
         from osmgraft.operators.textstats import quality_features
@@ -1281,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "stratified_sample": q_stratified_sample,
         "mix_domains": q_mix_domains,
+        "boilerplate_lines": q_boilerplate,
+        "pii_redact": q_pii_redact,
         "embedding_dup_pairs": q_embedding_dup,
         "text_quality": q_quality,
         "lang_id": q_lang_id,
@@ -1538,6 +1574,32 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(btop, cast(0 as bigint)) as top_bigram_count, "
             "round(coalesce(btop * 1.0 / bt, 0.0), 4) as top_bigram_frac "
             "from wa left join ba on wa.doc_id = ba.doc_id"
+        ),
+        # 2-word pseudo-lines; corpus-level line df via window; C4 removal
+        "boilerplate_lines": (
+            f"with w as (select doc_id, {tok} as ws from documents), "
+            "lt as (select doc_id, [array_to_string(ws[i*2+1:i*2+2], ' ') "
+            "for i in range(0, cast(ceil(len(ws)/2.0) as int))] as lines from w), "
+            "l as (select doc_id, unnest(list_zip(lines, range(1, len(lines)+1))) as u from lt), "
+            "e as (select doc_id, u[1] as line, u[2] as pos from l), "
+            "c as (select *, count(*) over (partition by line) as df from e) "
+            "select doc_id, string_agg(line, chr(10) order by pos) as text "
+            "from c where df < 12 group by doc_id"
+        ),
+        "pii_redact": (
+            "with d as (select doc_id, text || "
+            "case when doc_id % 7 = 0 then ' reach admin@example.com or 192.168.1.77' else '' end || "
+            "case when doc_id % 11 = 0 then ' dial +1 555 0100 now' else '' end as text "
+            "from documents) "
+            "select doc_id, "
+            "cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint) as n_email, "
+            "cast(len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) as bigint) as n_ipv4, "
+            "cast(len(regexp_extract_all(text, '\\+[0-9][0-9() -]{6,}[0-9]')) as bigint) as n_phone, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<email>', 'g'), "
+            "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<ipv4>', 'g'), "
+            "'\\+[0-9][0-9() -]{6,}[0-9]', '<phone>', 'g') as text "
+            "from d"
         ),
         # Knuth hash replica of sample_hash01(sql_exact=True), seed 5
         "stratified_sample": (

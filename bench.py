@@ -338,6 +338,14 @@ def main() -> None:
         qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
         return brute_force_topk(emb, qv, 10).count()
 
+    def q_decontam():
+        from osmgraft.operators.curation import contaminated_ids
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        bench_side = d.where(F.col("doc_id") % 10 == 7)
+        corpus = d.where(F.col("doc_id") % 10 != 7)
+        return contaminated_ids(corpus, bench_side, n=3, min_shared=2).count()
+
     # codec throughput rows: staged (untimed) >=10^4-payload tables; each
     # query decodes every payload byte-for-byte on executors and reduces
     # to one number so nothing short-circuits the kernel
@@ -374,6 +382,7 @@ def main() -> None:
         ("classify_global_rank", q_rank),
         ("minhash_lsh_docs", q_minhash),
         ("ann_brute_topk", q_ann),
+        ("decontam_3gram", q_decontam),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

@@ -201,6 +201,83 @@ def decontaminate(
     return docs.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
 
 
+# --- corpus-level boilerplate line removal (C4 rule) ---------------------------
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate scrub: delete every line occurring at least
+    ``min_df`` times ACROSS THE CORPUS (all occurrences removed), then
+    reassemble documents in original line order. Documents whose every
+    line was boilerplate drop from the output (C4 drops empty docs).
+
+    Shape at 10^12 docs: posexplode lines (narrow), one groupBy(line)
+    count shuffle, then an anti-join against ONLY the hot lines — in a
+    healthy corpus the boilerplate set (cookie banners, nav bars) is
+    tiny relative to the corpus, so AQE plans that side broadcast; a
+    pathological corpus degrades to a shuffled anti-join that AQE's
+    skew-join splits. Reassembly is one groupBy(``id_col``) packing
+    (pos, line) structs — array_sort on doc-bounded groups, no window
+    over an unbounded key."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line")
+    )
+    hot = (
+        lines.groupBy("_line")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_line")
+    )
+    kept = lines.join(hot, "_line", "left_anti")
+    packed = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "_line"))).alias("_ls")
+    )
+    return packed.select(
+        F.col(id_col),
+        F.array_join(F.transform("_ls", lambda s: s["_line"]), line_sep).alias(text_col),
+    )
+
+
+# --- PII redaction ---------------------------------------------------------------
+
+# deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB/others): no backrefs, no lookaround, no \b
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+    "phone": r"\+[0-9][0-9() -]{6,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "<{kind}>",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Replace PII spans with ``<kind>`` tokens and report per-kind match
+    counts (counted on the ORIGINAL text; kinds are applied in the given
+    order, so an email's host part is never double-matched as a host-less
+    pattern later in the chain — email first by default).
+
+    Pure Catalyst ``regexp_replace``/``regexp_count`` chain: narrow,
+    whole-stage codegen, zero shuffle — the redaction pass is scan-speed
+    at any corpus size."""
+    out = F.col(text_col)
+    cols = [F.col(id_col)]
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}"))
+        out = F.regexp_replace(out, pat, replacement.format(kind=kind))
+    return df.select(*cols, out.alias(text_col))
+
+
 # --- within-doc repetition signals (Gopher rules) -----------------------------
 
 

@@ -129,6 +129,72 @@ def test_repetition_flags_looped_spam(spark, docs):
     )
 
 
+# --- boilerplate line removal ----------------------------------------------------
+
+
+def test_remove_duplicate_lines_corpus_count(spark):
+    from osmgraft.operators.curation import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content one\ncookie banner"),
+            (2, "cookie banner\nreal content two"),
+            (3, "unique doc entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # 'cookie banner' occurs 3x corpus-wide -> removed everywhere at min_df=3
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(df, min_df=3).collect()}
+    assert out == {
+        1: "real content one",
+        2: "real content two",
+        3: "unique doc entirely",
+    }
+    # at min_df=4 nothing is hot; docs reassemble in original order
+    out4 = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(df, min_df=4).collect()}
+    assert out4[1] == "cookie banner\nreal content one\ncookie banner"
+
+
+def test_remove_duplicate_lines_drops_fully_boilerplate_doc(spark):
+    from osmgraft.operators.curation import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "nav\nnav"), (2, "nav\nbody"), (3, "nav")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_lines(df, min_df=2).collect()}
+    assert out == {2: "body"}  # docs 1 and 3 were 100% boilerplate
+
+
+# --- PII redaction -----------------------------------------------------------------
+
+
+def test_redact_pii_kinds_and_counts(spark):
+    from osmgraft.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@ex-a.org and 10.0.0.1 call +1 (555) 123-4567 end"),
+            (2, "clean text only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["text"] == "mail <email> and <ipv4> call <phone> end"
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["text"] == "clean text only"
+
+
+def test_redact_pii_is_narrow(spark, docs):
+    from osmgraft.operators.curation import redact_pii
+
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 # --- deterministic sampling ------------------------------------------------------
 
 

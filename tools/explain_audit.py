@@ -277,6 +277,37 @@ def main() -> None:
     ]
     sections.append(("partitioned PIP — adaptive ring covering equi-join", p13, notes13))
 
+    # 14. decontamination — bench grams broadcast, corpus side narrow until
+    # the per-doc count; sampling — pure narrow filter, zero exchange
+    from osmgraft.operators.curation import contaminated_ids, stratified_sample
+
+    bench_side = d.where(F.col("doc_id") % 10 == 7)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    q14 = contaminated_ids(corpus, bench_side, n=3, min_shared=2)
+    p14 = plan_of(q14)
+    # formatted explain prints the operator line bare ("(4) Exchange") with
+    # partitioning in the details block — count operator lines
+    n_wide14 = len(re.findall(r"\(\d+\) Exchange\b", p14))
+    notes14 = [
+        f"bench gram set broadcast (no corpus-side gram shuffle): "
+        f"{'BroadcastHashJoin' in p14 or 'BroadcastExchange' in p14}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p14 and 'BroadcastNestedLoopJoin' not in p14}",
+        f"corpus-side wide exchanges (per-doc hit count + bench-gram dedup "
+        f"only): {n_wide14} (<= 3)",
+        f"no Python operators (grams are Catalyst zip_with): {'Python' not in p14}",
+    ]
+    sections.append(("decontamination — broadcast eval grams, narrow corpus scan", p14, notes14))
+
+    d15 = d.withColumn("stratum", F.pmod(F.col("doc_id"), F.lit(3)).cast("string"))
+    q15 = stratified_sample(d15, {"0": 0.5, "1": 0.25}, strata_col="stratum", id_col="doc_id")
+    p15 = plan_of(q15)
+    notes15 = [
+        f"zero exchange (pure filter over the scan): {'Exchange' not in p15}",
+        f"whole-stage codegen: {'codegen id' in p15}",
+        f"no Python operators: {'Python' not in p15}",
+    ]
+    sections.append(("deterministic stratified sampling — narrow codegen filter", p15, notes15))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
