@@ -1172,6 +1172,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_id", "vec_id", "rk"
         )
 
+    def q_ann_ivf(spark, sf):
+        # Oracled configuration: seed-id coarse quantizer (no Lloyd) +
+        # Catalyst rounded-argmax assignment, so the SQL replays cell
+        # membership, probe order AND the cell-pruned rerank exactly.
+        # k-means configurations are covered by the pytest recall tests.
+        from osmgraft.operators.simsearch import ivf_topk
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+        return ivf_topk(
+            emb,
+            qs,
+            k=5,
+            nprobe=3,
+            seed_ids=[3, 17, 29, 41, 53, 61, 77, 89],
+            exact_assign=True,
+        ).select("q_id", "vec_id", "rk")
+
     def q_multimodal_features(spark, sf):
         from osmgraft.operators.multimodal import extract_features
 
@@ -1334,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "wav_decode": q_wav_decode,
         "png_decode": q_png_decode,
@@ -1600,6 +1619,23 @@ def oracle_sql() -> dict[str, str]:
             "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<ipv4>', 'g'), "
             "'\\+[0-9][0-9() -]{6,}[0-9]', '<phone>', 'g') as text "
             "from d"
+        ),
+        "ann_ivf_topk": (
+            "with sd(ci, sid) as (values (1,3),(2,17),(3,29),(4,41),(5,53),(6,61),(7,77),(8,89)), "
+            "cent as (select ci, cast(e.embedding as double[]) as cv from sd join embeddings e on e.vec_id = sd.sid), "
+            "base as (select vec_id, cast(embedding as double[]) as v from embeddings), "
+            "ascore as (select vec_id, ci, round(list_cosine_similarity(v, cv), 4) as s from base cross join cent), "
+            "assign as (select vec_id, ci from (select vec_id, ci, row_number() over "
+            "(partition by vec_id order by s desc, ci asc) as r from ascore) where r = 1), "
+            "q as (select vec_id as q_id, cast(embedding as double[]) as qv from embeddings where vec_id < 8), "
+            "qscore as (select q_id, ci, round(list_cosine_similarity(qv, cv), 4) as s from q cross join cent), "
+            "probes as (select q_id, ci from (select q_id, ci, row_number() over "
+            "(partition by q_id order by s desc, ci asc) as r from qscore) where r <= 3), "
+            "cand as (select p.q_id, a.vec_id from probes p join assign a using (ci)), "
+            "rer as (select c.q_id, c.vec_id, row_number() over (partition by c.q_id order by "
+            "list_cosine_similarity(b.v, q.qv) desc, c.vec_id asc) as rk "
+            "from cand c join base b using (vec_id) join q using (q_id)) "
+            "select q_id, vec_id, rk from rer where rk <= 5"
         ),
         # Knuth hash replica of sample_hash01(sql_exact=True), seed 5
         "stratified_sample": (

@@ -228,6 +228,96 @@ def test_ann_recall_vs_brute(spark, embeddings):
     assert hits / total > 0.2  # single-table LSH; exactness not claimed
 
 
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """nprobe == n_cells probes every inverted list -> IVF must return the
+    exact brute-force top-k, regardless of how the quantizer carved the
+    space (the IVF analogue of the LSH full-recall pin)."""
+    from osmgraft.operators.simsearch import brute_force_topk, ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ivf_topk(embeddings, queries, k=5, n_cells=8, nprobe=8, seed=3, iters=2)
+    got = {(r["q_id"], r["vec_id"], r["rk"]) for r in out.collect()}
+    for q in [r["q_id"] for r in queries.collect()]:
+        qv = [
+            float(x)
+            for x in embeddings.where(F.col("vec_id") == q).collect()[0]["embedding"]
+        ]
+        truth = brute_force_topk(embeddings, qv, 5).collect()
+        for rk, row in enumerate(truth, 1):
+            assert (q, row["vec_id"], rk) in got
+
+
+def test_ivf_partial_probe_recall_and_pruning(spark, embeddings):
+    from osmgraft.operators.simsearch import brute_force_topk, ivf_topk
+
+    queries = embeddings.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ivf_topk(embeddings, queries, k=5, n_cells=16, nprobe=4, seed=3, iters=3)
+    got = {(r["q_id"], r["vec_id"]) for r in out.collect()}
+    # a query's own vector shares its cell -> always found at cosine 1
+    hits = total = 0
+    for q in [r["q_id"] for r in queries.select("q_id").collect()]:
+        assert (q, q) in got
+        qv = [
+            float(x)
+            for x in embeddings.where(F.col("vec_id") == q).collect()[0]["embedding"]
+        ]
+        truth = {r["vec_id"] for r in brute_force_topk(embeddings, qv, 5).collect()}
+        hits += len(truth & {v for (qq, v) in got if qq == q})
+        total += 5
+    assert hits / total > 0.4  # 4-of-16 cells probed; exactness not claimed
+    # pruning is real: fewer candidates than brute force would rerank
+    assert out.count() <= 8 * 5
+
+
+def test_ivf_exact_assign_matches_udf_assign(spark, embeddings):
+    """The Catalyst rounded-argmax assignment (oracle path) and the numpy
+    matmul assignment agree cell-for-cell on real data (rounding to 4
+    decimals never flips an argmax on the synth vectors)."""
+    from osmgraft.operators.simsearch import (
+        _ivf_assign_udf,
+        _ivf_cell_expr,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(embeddings, 8, seed_ids=[3, 17, 29, 41, 53, 61, 77, 89])
+    exact = {
+        r["vec_id"]: r["_cell"]
+        for r in embeddings.select(
+            "vec_id", _ivf_cell_expr(F.col("embedding"), cents)
+        ).collect()
+    }
+    fast = {
+        r["vec_id"]: r["c"]
+        for r in embeddings.select(
+            "vec_id", _ivf_assign_udf(cents)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert exact == fast
+
+
+def test_ivf_centroids_seed_ids_and_determinism(spark, embeddings):
+    import numpy as np
+
+    from osmgraft.operators.simsearch import ivf_centroids
+
+    cents = ivf_centroids(embeddings, 2, seed_ids=[5, 9])
+    want = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.where(F.col("vec_id").isin([5, 9])).collect()
+    }
+    assert np.allclose(cents[0], want[5] / np.linalg.norm(want[5]))
+    assert np.allclose(cents[1], want[9] / np.linalg.norm(want[9]))
+    with pytest.raises(ValueError, match="not found"):
+        ivf_centroids(embeddings, 2, seed_ids=[5, 10**9])
+    a = ivf_centroids(embeddings, 8, seed=3, iters=3)
+    b = ivf_centroids(embeddings, 8, seed=3, iters=3)
+    assert np.array_equal(a, b)
+
+
 def test_pairwise_neighbors_blocked(spark, embeddings):
     from osmgraft.operators.simsearch import pairwise_neighbors
 
