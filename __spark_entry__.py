@@ -964,6 +964,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lined = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
         return remove_duplicate_lines(lined, min_df=12)
 
+    # --- curation: deterministic training-shard packing ------------------------------
+    def q_assign_shards(spark, sf):
+        from osmgraft.operators.curation import assign_shards
+
+        d = _read(spark, sf, "documents").select(
+            "doc_id", F.col("n_chars").alias("n_tokens")
+        )
+        return assign_shards(
+            d, target_tokens=4000, n_buckets=8, seed=2, sql_exact=True
+        ).select("doc_id", "n_tokens", "bucket", "shard_ix")
+
     # --- curation: PII redaction ----------------------------------------------------
     def q_pii_redact(spark, sf):
         from osmgraft.operators.curation import redact_pii
@@ -1334,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_domains": q_mix_domains,
         "boilerplate_lines": q_boilerplate,
+        "assign_shards": q_assign_shards,
         "pii_redact": q_pii_redact,
         "embedding_dup_pairs": q_embedding_dup,
         "text_quality": q_quality,
@@ -1593,6 +1605,15 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(btop, cast(0 as bigint)) as top_bigram_count, "
             "round(coalesce(btop * 1.0 / bt, 0.0), 4) as top_bigram_frac "
             "from wa left join ba on wa.doc_id = ba.doc_id"
+        ),
+        # Knuth bucket hash + greedy cumulative-sum shard packing, seed 2
+        "assign_shards": (
+            "with b as (select doc_id, n_chars as n_tokens, "
+            "cast(((doc_id % 2147483648 + 2) * 2654435761) % 8 as int) as bucket from documents), "
+            "c as (select *, sum(n_tokens) over (partition by bucket order by doc_id "
+            "rows between unbounded preceding and current row) as cum from b) "
+            "select doc_id, n_tokens, bucket, "
+            "cast(floor((cum - n_tokens) / 4000.0) as int) as shard_ix from c"
         ),
         # 2-word pseudo-lines; corpus-level line df via window; C4 removal
         "boilerplate_lines": (

@@ -148,6 +148,59 @@ def mix_domains(
     )
 
 
+# --- training-shard packing -----------------------------------------------------
+
+
+def assign_shards(
+    df: DataFrame,
+    target_tokens: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 0,
+    sql_exact: bool = False,
+) -> DataFrame:
+    """Assign every document to a training shard with a ~``target_tokens``
+    token budget, deterministically.
+
+    Writers of tokenized pretraining data want shards of roughly equal
+    token mass, stable across reruns (a retry must not re-deal documents
+    into different shards). Exact global bin-packing is inherently
+    sequential, so this uses the standard scalable compromise: documents
+    hash into ``n_buckets`` independent streams (narrow), each stream is
+    packed greedily in id order — ``shard_ix = floor((cumsum(tokens) -
+    tokens) / target_tokens)`` — and the shard key is ``(bucket,
+    shard_ix)``. Each bucket's running sum is one window over a
+    ~corpus/n_buckets partition; size ``n_buckets`` to the cluster (it
+    bounds both parallelism and the window partition size). Shards
+    overshoot the budget by at most one document — the same guarantee a
+    sequential greedy packer gives.
+
+    Output: input columns + ``bucket``, ``shard_ix``. Deterministic in
+    (id, seed); ``sql_exact`` selects the ANSI-replayable Knuth id hash
+    (see module header) instead of xxhash64."""
+    if sql_exact:
+        b = F.pmod(
+            (F.pmod(F.col(id_col).cast("bigint"), F.lit(2**31)) + F.lit(seed)) * F.lit(_KNUTH),
+            F.lit(n_buckets),
+        )
+    else:
+        b = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_buckets))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("bucket", b.cast("int"))
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return out.withColumn(
+        "shard_ix",
+        F.floor((cum - F.col(tokens_col)) / F.lit(float(target_tokens))).cast("int"),
+    )
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 

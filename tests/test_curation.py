@@ -129,6 +129,54 @@ def test_repetition_flags_looped_spam(spark, docs):
     )
 
 
+# --- training-shard packing --------------------------------------------------------
+
+
+def test_assign_shards_budget_and_determinism(spark, docs):
+    from osmgraft.operators.curation import assign_shards
+
+    d = docs.select("doc_id", F.col("n_chars").alias("n_tokens"))
+    out = assign_shards(d, target_tokens=5000, n_buckets=4, seed=1).cache()
+    assert out.count() == d.count()  # every doc dealt exactly once
+    # per-(bucket, shard) token mass never exceeds budget + one doc, and
+    # packing is tight at the bucket level: shard count <= floor(total/T)+1
+    # (a single shard CAN close under budget when the previous doc spans
+    # the boundary — greedy, not bin-repair)
+    mass = out.groupBy("bucket", "shard_ix").agg(F.sum("n_tokens").alias("m"))
+    max_doc = d.agg(F.max("n_tokens")).first()[0]
+    for r in mass.collect():
+        assert r["m"] < 5000 + max_doc
+    per_bucket = {
+        r["bucket"]: (r["n_shards"], r["total"])
+        for r in out.groupBy("bucket")
+        .agg(
+            F.countDistinct("shard_ix").alias("n_shards"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    }
+    for n_shards, total in per_bucket.values():
+        assert n_shards <= total // 5000 + 1
+    # deterministic across reruns
+    a = {(r["doc_id"], r["bucket"], r["shard_ix"]) for r in out.collect()}
+    b = {
+        (r["doc_id"], r["bucket"], r["shard_ix"])
+        for r in assign_shards(d, target_tokens=5000, n_buckets=4, seed=1).collect()
+    }
+    assert a == b
+    out.unpersist()
+
+
+def test_assign_shards_greedy_semantics_exact(spark):
+    from osmgraft.operators.curation import assign_shards
+
+    # one bucket -> pure sequential greedy: tokens 4,4,4 at target 6 pack
+    # as [4], [4+4 overshoots? no: shard = floor((cum-tok)/6)] -> 0,0,1
+    d = spark.createDataFrame([(1, 4), (2, 4), (3, 4)], "doc_id bigint, n_tokens int")
+    out = {r["doc_id"]: r["shard_ix"] for r in assign_shards(d, 6, n_buckets=1).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
 # --- boilerplate line removal ----------------------------------------------------
 
 

@@ -308,6 +308,24 @@ def main() -> None:
     ]
     sections.append(("deterministic stratified sampling — narrow codegen filter", p15, notes15))
 
+    # 16. IVF ANN — narrow assignment, nprobe-cell equi-join, no cartesian
+    from osmgraft.operators.simsearch import ivf_topk
+
+    emb16 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs16 = emb16.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    q16 = ivf_topk(emb16, qs16, k=5, n_cells=8, nprobe=3, seed=3, iters=2)
+    p16 = plan_of(q16)
+    n_arrow16 = len(re.findall(_ARROW_OP_RE, p16, re.M))
+    notes16 = [
+        f"no cartesian/BNLJ (candidates via _cell equi-join): "
+        f"{'Cartesian' not in p16 and 'BroadcastNestedLoopJoin' not in p16}",
+        f"assignment is Arrow-batched matmul, not row Python: "
+        f"{'BatchEvalPython' not in p16} ({n_arrow16} Arrow ops)",
+        f"exact re-rank windows on q_id (bounded partitions), no global "
+        f"single-partition sort: {'SinglePartition' not in p16}",
+    ]
+    sections.append(("IVF ANN — broadcast centroids, nprobe-cell equi-join", p16, notes16))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
