@@ -1201,6 +1201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exact_assign=True,
         ).select("q_id", "vec_id", "rk")
 
+    def q_quantize_embeddings(spark, sf):
+        from osmgraft.operators.simsearch import quantize_embeddings
+
+        emb = _read(spark, sf, "embeddings")
+        out = quantize_embeddings(emb)
+        return out.select("vec_id", "qvec", F.round("scale", 6).alias("scale"))
+
     def q_multimodal_features(spark, sf):
         from osmgraft.operators.multimodal import extract_features
 
@@ -1365,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "quantize_embeddings": q_quantize_embeddings,
         "multimodal_features": q_multimodal_features,
         "wav_decode": q_wav_decode,
         "png_decode": q_png_decode,
@@ -1605,6 +1613,13 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(btop, cast(0 as bigint)) as top_bigram_count, "
             "round(coalesce(btop * 1.0 / bt, 0.0), 4) as top_bigram_frac "
             "from wa left join ba on wa.doc_id = ba.doc_id"
+        ),
+        # bias-rounded symmetric int8 quantization, exact double replay
+        "quantize_embeddings": (
+            "with a as (select vec_id, cast(embedding as double[]) as v from embeddings), "
+            "m as (select vec_id, v, list_max(list_transform(v, x -> abs(x))) as amax from a) "
+            "select vec_id, list_transform(v, x -> cast(floor(x * (case when amax > 0 then 127.0 / amax else 0.0 end) + 0.5) as int)) as qvec, "
+            "round(case when amax > 0 then 127.0 / amax else 0.0 end, 6) as scale from m"
         ),
         # Knuth bucket hash + greedy cumulative-sum shard packing, seed 2
         "assign_shards": (

@@ -318,6 +318,45 @@ def test_ivf_centroids_seed_ids_and_determinism(spark, embeddings):
     assert np.array_equal(a, b)
 
 
+def test_quantize_embeddings_roundtrip(spark, embeddings):
+    import numpy as np
+
+    from osmgraft.operators.simsearch import dequantize_expr, quantize_embeddings
+
+    q = quantize_embeddings(embeddings)
+    joined = q.join(embeddings, "vec_id").select(
+        "vec_id", "embedding", dequantize_expr(F.col("qvec"), F.col("scale")).alias("deq"), "qvec"
+    )
+    for r in joined.limit(50).collect():
+        orig = np.array(r["embedding"], dtype=np.float64)
+        deq = np.array(r["deq"])
+        assert np.all(np.abs(np.array(r["qvec"])) <= 127)
+        # max error bound: 0.5/scale = max|v|/254
+        assert np.max(np.abs(orig - deq)) <= np.max(np.abs(orig)) / 254 + 1e-12
+        cos = orig @ deq / (np.linalg.norm(orig) * np.linalg.norm(deq))
+        assert cos > 0.9995
+
+
+def test_quantize_embeddings_zero_vector_and_plan(spark):
+    from osmgraft.operators.simsearch import dequantize_expr, quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["qvec"] == [0, 0, 0] and rows[1]["scale"] == 0.0
+    assert rows[2]["qvec"] == [64, -127, 32]  # floor(x*63.5 + 0.5)
+    deq = {
+        r["vec_id"]: r["d"]
+        for r in q.select("vec_id", dequantize_expr(F.col("qvec"), F.col("scale")).alias("d")).collect()
+    }
+    assert deq[1] == [0.0, 0.0, 0.0]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan  # narrow, JVM-side
+
+
 def test_pairwise_neighbors_blocked(spark, embeddings):
     from osmgraft.operators.simsearch import pairwise_neighbors
 
