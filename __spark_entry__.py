@@ -896,6 +896,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
         )
 
+    # --- dedup: pairs -> clusters (alternating-star connected components) -------
+    def q_dedup_components(spark, sf):
+        from osmgraft.operators.dedup import connected_components, jaccard_pairs
+
+        docs = _read(spark, sf, "documents")
+        d = docs.select("doc_id", "text").where(F.col("doc_id") < 200)
+        near = jaccard_pairs(d, threshold=0.4, max_df=None).select("id_a", "id_b")
+        # a 63-edge id chain: forces multi-round transitive closure (a
+        # single-hop formulation would leave the chain in 64 components)
+        chain = (
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") <= 362))
+            .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        )
+        comp = connected_components(near.unionByName(chain))
+        return comp.select(F.col("id").alias("doc_id"), "component")
+
     # --- dedup: embedding-cosine near-dup (exact path == SQL oracle) ------------
     def q_embedding_dup(spark, sf):
         from osmgraft.operators.dedup import embedding_dup_pairs
@@ -1384,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cells_pts": q_adaptive_cells_pts,
         "simhash_pairs": q_simhash_pairs,
         "legacy_split": q_legacy_split,
+        "dedup_components": q_dedup_components,
     }
 
 
@@ -1580,6 +1597,27 @@ def oracle_sql() -> dict[str, str]:
             "select id_a, id_b, round(cast(i as double)/(sa.sz + sb.sz - i), 4) as jaccard "
             "from inter join sizes sa on id_a = sa.id join sizes sb on id_b = sb.id "
             "where cast(i as double)/(sa.sz + sb.sz - i) >= 0.4"
+        ),
+        # component = min reachable id; DuckDB replays the alternating-star
+        # result with a recursive transitive closure over the same edges
+        "dedup_components": (
+            "with recursive d as (select doc_id, text from documents where doc_id < 200), "
+            f"tok as (select distinct doc_id as id, unnest({tok}) as w from d), "
+            "sizes as (select id, count(*) as sz from tok group by id), "
+            "inter as (select a.id as id_a, b.id as id_b, count(*) as i from tok a "
+            "join tok b on a.w = b.w and a.id < b.id group by 1, 2), "
+            "near as (select id_a, id_b from inter "
+            "join sizes sa on id_a = sa.id join sizes sb on id_b = sb.id "
+            "where cast(i as double)/(sa.sz + sb.sz - i) >= 0.4), "
+            "chain as (select doc_id as id_a, doc_id + 1 as id_b from documents "
+            "where doc_id between 300 and 362), "
+            "pairs as (select * from near union select * from chain), "
+            "edges as (select id_a as src, id_b as dst from pairs where id_a <> id_b "
+            "union select id_b, id_a from pairs where id_a <> id_b), "
+            "nodes as (select distinct src as id from edges), "
+            "reach(id, r) as (select id, id from nodes union "
+            "select reach.id, edges.dst from reach join edges on edges.src = reach.r) "
+            "select id as doc_id, min(r) as component from reach group by id"
         ),
         # word_shingles_expr replica: distinct 3-grams, whole-doc gram below 3 words
         "decontaminate_ngrams": (

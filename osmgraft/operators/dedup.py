@@ -13,6 +13,11 @@ Four families, all DataFrame-first:
 - SimHash:    64-bit signature via a vectorized numpy kernel (bit-count
               majority over token hashes), near-dups = small Hamming
               distance within prefix buckets.
+
+Every pair family feeds :func:`connected_components` (alternating
+large-star / small-star, O(log n) shuffle rounds) to turn candidate pairs
+into dedup clusters, and :func:`dedup_survivors` to pick the canonical
+document per cluster.
 """
 
 from __future__ import annotations
@@ -433,3 +438,101 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+# --- connected components / canonical survivors -------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least(F.col("_mv"), F.col("u")).alias("_m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the minimum."""
+    canon = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    mins = canon.groupBy("u").agg(F.min("v").alias("_m"))
+    members = (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    roots = mins.select("u", F.col("_m").alias("v"))
+    return members.unionByName(roots).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list -> (id, component) with
+    component = the minimum id reachable from ``id``.
+
+    The alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two groupBy-min shuffles plus two co-partitioned joins on the same
+    key, and the edge set provably converges to min-rooted stars in
+    O(log n) rounds — this is the scale path for turning near-dup PAIRS
+    (MinHash/SimHash/Jaccard/embedding output) into dedup CLUSTERS, where
+    naive label propagation needs O(graph diameter) rounds and a
+    driver-side union-find needs the whole edge set on one machine.
+
+    Per round the edge frame is eagerly localCheckpoint-ed: lineage stays
+    O(1) deep instead of O(rounds), and the convergence probe (count +
+    order-independent xxhash64 checksum) reuses the materialized result.
+    Works for integer or string ids (component = lexicographic min for
+    strings, matching SQL ``min``). Self-pairs are ignored; isolated
+    documents never appear in ``pairs`` and are their own component —
+    :func:`dedup_survivors` handles them with a left join.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cnt, chk = edges.agg(
+            F.count(F.lit(1)),
+            # decimal sum: an order-independent checksum that cannot hit
+            # ANSI long overflow no matter how many edges
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+        ).first()
+        if (cnt, chk) == prev:
+            break
+        prev = (cnt, chk)
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    return members.unionByName(roots).distinct()
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Annotate ``df`` with its dedup ``component`` and ``is_canonical``
+    (True on the one minimum-id survivor per near-dup cluster; documents
+    in no pair are their own singleton component). Filter on
+    ``is_canonical`` to materialize the deduplicated corpus."""
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed("id", id_col)
+    out = df.join(comp, id_col, "left")
+    out = out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
