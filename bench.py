@@ -338,6 +338,18 @@ def main() -> None:
         qv = [float(x) for x in emb.where(F.col("vec_id") == 7).collect()[0]["embedding"]]
         return brute_force_topk(emb, qv, 10).count()
 
+    def q_components():
+        from osmgraft.operators.dedup import connected_components
+
+        # 16-long id chains over an id space the size of the staged corpus:
+        # the adversarial depth case for pair->cluster closure (forces ~4-5
+        # alternating large/small-star rounds; one-hop would not converge)
+        ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+        edges = ids.where((F.col("doc_id") % 16 != 15) & (F.col("doc_id") + 1 < n_docs)).select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        return connected_components(edges).count()
+
     def q_decontam():
         from osmgraft.operators.curation import contaminated_ids
 
@@ -383,6 +395,7 @@ def main() -> None:
         ("minhash_lsh_docs", q_minhash),
         ("ann_brute_topk", q_ann),
         ("decontam_3gram", q_decontam),
+        ("cc_chains", q_components),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

@@ -447,11 +447,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
     mins = mins.select("u", F.least(F.col("_mv"), F.col("u")).alias("_m"))
+    # no distinct here: duplicate edges within a round are absorbed by
+    # small-star's min-agg and deduped by ITS distinct — one less shuffle
+    # per round, and multiplicity cannot compound across rounds
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("_m").alias("v"))
-        .distinct()
     )
 
 
@@ -475,7 +477,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_rounds: int = 25,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """Connected components over a pair list -> (id, component) with
     component = the minimum id reachable from ``id``.

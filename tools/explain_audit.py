@@ -326,6 +326,30 @@ def main() -> None:
     ]
     sections.append(("IVF ANN — broadcast centroids, nprobe-cell equi-join", p16, notes16))
 
+    # 17. connected components — one alternating-star round (the loop body;
+    # the full operator repeats this plan O(log n) times over a
+    # localCheckpoint-ed frame, so the per-round plan IS the scale story)
+    from osmgraft.operators.dedup import _large_star, _small_star
+
+    e17 = (
+        d.where(F.col("doc_id") < 400)
+        .select(F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v"))
+    )
+    q17 = _small_star(_large_star(e17))
+    p17 = plan_of(q17)
+    n_hash_u = len(re.findall(r"hashpartitioning\(u#", p17))
+    notes17 = [
+        f"no cartesian/BNLJ: {'Cartesian' not in p17 and 'BroadcastNestedLoopJoin' not in p17}",
+        f"every exchange keys on the node id u (co-partitioned min-agg + "
+        f"join): {n_hash_u >= 2} ({n_hash_u} hashpartitioning(u) exchanges)",
+        f"no single-partition stage: {'SinglePartition' not in p17}",
+        f"no Python operators (pure Catalyst round): {'Python' not in p17}",
+        f"map-side partial min before each exchange: {'partial_min' in p17 or p17.count('min(v') >= 2}",
+    ]
+    sections.append(
+        ("connected components — one large-star/small-star round", p17, notes17)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
