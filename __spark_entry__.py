@@ -1337,6 +1337,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_dupes")
         )
 
+    # --- retrieval: BM25 keyword top-k (inverted-index shape) --------------------
+    def q_bm25_topk(spark, sf):
+        from osmgraft.operators.retrieval import bm25_topk
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return bm25_topk(d, ["spark", "join", "window"], k=100)
+
+    # --- dedup: exact duplicated-substring spans (suffix-array-free) -------------
+    def q_dup_spans(spark, sf):
+        from osmgraft.operators.dedup import dup_spans
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        return dup_spans(d, n=5, min_docs=2)
+
+    # --- curation: context-window chunking ---------------------------------------
+    def q_chunk_docs(spark, sf):
+        from osmgraft.operators.curation import chunk_docs
+
+        d = _read(spark, sf, "documents").select("doc_id", "text").where(
+            F.col("doc_id") < 500
+        )
+        return chunk_docs(d, chunk_words=40, overlap=10)
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -1401,6 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "legacy_split": q_legacy_split,
         "dedup_components": q_dedup_components,
+        "bm25_topk": q_bm25_topk,
+        "dup_spans": q_dup_spans,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -1898,5 +1924,47 @@ def oracle_sql() -> dict[str, str]:
             "else strlen(res) - strlen(substr(res, 1, strpos(res, '%') - 1)) end) "
             "else (case when strlen(res) > strlen(res) // 2 then strlen(res) else 0 end) end / 2.0 "
             "as double) as radius from c2"
+        ),
+        # BM25: per-term contributions floored to 1e-9 fixed point in BOTH
+        # engines so the score sum is an order-free int64 sum (see
+        # osmgraft/operators/retrieval.py); arithmetic sub-expressions
+        # mirror the Spark plan literal-for-literal
+        "bm25_topk": (
+            f"with base as (select doc_id, {tok} as w from documents), "
+            "stats as (select count(*) as n_docs, avg(len(w)) as avgdl from base), "
+            "t as (select doc_id, len(w) as dl, unnest(w) as term from base), "
+            "tf as (select doc_id, dl, term, count(*) as tf from t "
+            "where term in ('spark', 'join', 'window') group by doc_id, dl, term), "
+            "dfreq as (select term, count(*) as df from tf group by term) "
+            "select tf.doc_id, count(*) as matched_terms, "
+            "sum(cast(floor(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) "
+            "* (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) "
+            "* 1000000000.0) as bigint)) / 1000000000.0 as score "
+            "from tf join dfreq using (term) cross join stats "
+            "group by tf.doc_id order by score desc, tf.doc_id asc limit 100"
+        ),
+        # duplicated 5-gram positions -> per-doc gaps-and-islands merge
+        "dup_spans": (
+            f"with base as (select doc_id, {tok} as w from documents), "
+            "idx as (select doc_id, w, unnest(range(1, len(w) - 5 + 2)) as i "
+            "from base where len(w) >= 5), "
+            "pos as (select doc_id, cast(i - 1 as int) as pos, "
+            "md5(array_to_string(w[i:i+4], ' ')) as gh from idx), "
+            "dup as (select gh from pos group by gh having count(distinct doc_id) >= 2), "
+            "hits as (select doc_id, pos, "
+            "row_number() over (partition by doc_id order by pos) as rn "
+            "from pos where gh in (select gh from dup)) "
+            "select doc_id, min(pos) as start_word, cast(max(pos) + 4 as int) as end_word, "
+            "cast(max(pos) - min(pos) + 5 as int) as span_words "
+            "from hits group by doc_id, pos - rn"
+        ),
+        # chunk starts are multiples of the stride, so chunk_id = start // stride
+        "chunk_docs": (
+            f"with base as (select doc_id, {tok} as w from documents where doc_id < 500), "
+            "e as (select doc_id, len(w) as n, w, "
+            "unnest(range(0, greatest(len(w) - 10, 1), 30)) as s from base) "
+            "select doc_id, cast(s // 30 as int) as chunk_id, cast(s as int) as start_word, "
+            "cast(least(40, n - s) as int) as n_words, "
+            "array_to_string(w[s + 1 : s + 40], ' ') as chunk_text from e"
         ),
     }

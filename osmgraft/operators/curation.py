@@ -386,3 +386,54 @@ def repetition_features(
             F.coalesce(F.col("b_top") / F.col("b_total"), F.lit(0.0)), 4
         ).alias("top_bigram_frac"),
     )
+
+
+# --- context-window chunking ---------------------------------------------------
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_words: int = 100,
+    overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width word windows — the
+    context-length chunking step that feeds tokenization / shard packing
+    (:func:`assign_shards`) when raw documents exceed the model's window.
+
+    Chunk i starts at word ``i * (chunk_words - overlap)``; starts are
+    emitted while ``start < max(n_words - overlap, 1)``, so the tail is
+    always covered, the last chunk may be short, and no chunk is wholly
+    contained in its predecessor. A document shorter than ``chunk_words``
+    yields exactly one chunk (itself).
+
+    Pure Catalyst (sequence -> explode -> slice/array_join): narrow
+    per-row work, zero shuffle, zero UDF — at 100 TB this is a map-only
+    stage whose output is ~(1 + overlap/stride)x the input bytes.
+
+    Returns ``(id_col, chunk_id, start_word, n_words, chunk_text)``;
+    ``chunk_id`` counts from 0 per document.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+    from osmgraft.operators.dedup import tokens_expr
+
+    words = tokens_expr(F.col(text_col))
+    base = df.select(F.col(id_col), words.alias("_w")).withColumn("_n", F.size("_w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - overlap, F.lit(1)) - 1, F.lit(stride)
+    )
+    exp = base.select(
+        F.col(id_col), "_w", "_n", F.posexplode(starts).alias("chunk_id", "start_word")
+    )
+    return exp.select(
+        F.col(id_col),
+        "chunk_id",
+        "start_word",
+        F.least(F.lit(chunk_words), F.col("_n") - F.col("start_word")).alias("n_words"),
+        F.array_join(F.slice("_w", F.col("start_word") + 1, F.lit(chunk_words)), " ").alias(
+            "chunk_text"
+        ),
+    )

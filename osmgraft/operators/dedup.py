@@ -538,3 +538,105 @@ def dedup_survivors(
     out = df.join(comp, id_col, "left")
     out = out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
     return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
+# --- exact duplicated-substring spans -----------------------------------------
+
+
+def _positional_grams_expr(words: Column, n: int) -> Column:
+    """Word n-grams ALIGNED TO POSITION: element i is the space-joined gram
+    ``words[i..i+n-1]``, NULL where fewer than n words remain. Same
+    zip_with chain as :func:`word_shingles_expr` (O(n_words) per width)
+    but without the distinct/compaction — position survives as the array
+    index, recovered downstream by ``posexplode``."""
+    if n == 1:
+        return words
+    size = F.size(words)
+    acc = words
+    for k in range(1, n):
+        wk = F.slice(words, k + 1, F.greatest(size - k, F.lit(0)))
+        if k < n - 1:
+            acc = F.zip_with(acc, wk, lambda a, b: F.concat_ws(" ", a, b))
+        else:
+            acc = F.zip_with(
+                acc, wk, lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b))
+            )
+    return acc
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_hash: str = "md5",
+) -> DataFrame:
+    """Exact duplicated-substring spans: per document, the MAXIMAL word
+    intervals in which every length-``n`` word gram also occurs in at
+    least ``min_docs`` distinct documents.
+
+    This is the substring-level dedup modality (the suffix-array exact
+    substring dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — public), re-expressed for a scan
+    engine: a shared passage of m >= n words is exactly a run of m-n+1
+    consecutive duplicated n-grams, so maximal duplicated spans fall out
+    of a gaps-and-islands merge over each document's duplicated gram
+    positions — no suffix array, no global structure:
+
+    1. positional n-grams per doc (one Catalyst pass, zip_with chain);
+    2. ONE shuffle keyed on the gram hash computes each gram's distinct
+       document count (partial aggregation applies — this is the corpus
+       token stream, the floor any exact method pays);
+    3. duplicated grams semi-join back (co-partitioned on the same hash);
+    4. per-doc interval merge: ``pos - row_number()`` islands under a
+       window PARTITIONED BY doc — no global sort, no driver data.
+
+    Grams travel as hashes, not strings: ``gram_hash='md5'`` (default) is
+    replayable in any engine (the DuckDB oracle runs it verbatim);
+    ``'xxhash64'`` halves the shuffle width for production (8-byte long
+    vs 32-char hex). A false gram-collision would need a 128-bit (resp.
+    64-bit) hash collision — negligible (resp. ~1e-9 at 10^9 grams).
+
+    Returns ``(id_col, start_word, end_word, span_words)``, start/end
+    0-based inclusive word positions. Documents shorter than ``n`` words
+    contain no n-gram and never emit a span. Shared passages that OVERLAP
+    within one document merge into one span (their duplicated gram
+    positions are consecutive); back-to-back passages stay separate
+    because the grams crossing their boundary are unique to this document
+    (the two spans tile the copied region — "how much is copied"
+    accounting sums span_words either way).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), _positional_grams_expr(tokens_expr(F.col(text_col)), n).alias("_g")
+    )
+    hasher = F.md5 if gram_hash == "md5" else F.xxhash64
+    grams = (
+        base.select(F.col(id_col), F.posexplode("_g").alias("pos", "gram"))
+        .where(F.col("gram").isNotNull())
+        .select(F.col(id_col), "pos", hasher(F.col("gram")).alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("start_word"),
+            (F.max("pos") + F.lit(n - 1)).alias("end_word"),
+        )
+        .select(
+            F.col(id_col),
+            "start_word",
+            "end_word",
+            (F.col("end_word") - F.col("start_word") + 1).alias("span_words"),
+        )
+    )
