@@ -53,6 +53,8 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
+    materialize_postings: bool = True,
 ) -> DataFrame:
     """BM25 score per document for a bag of query terms.
 
@@ -66,21 +68,36 @@ def bm25_scores(
 
     N and avgdl are computed over the FULL corpus (docs with no query
     term still shape the statistics), df_t over matching docs only.
+
+    Scan accounting: the corpus is read twice by default — once for
+    (N, avgdl), once for the postings. ``corpus_stats=(n_docs, avgdl)``
+    skips the stats scan (a production deployment knows both from the
+    ingest pipeline), leaving ONE corpus pass. ``materialize_postings``
+    (default) lazily localCheckpoints the aggregated tf frame — already
+    reduced to matching (doc, term) rows, tiny next to the corpus — so
+    the document-frequency aggregation reuses it instead of re-running
+    the corpus scan a third time.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     base = df.select(
         F.col(id_col), tokens_expr(F.col(text_col)).alias("_w")
     ).withColumn("dl", F.size("_w"))
-    stats = base.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = df.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"), F.lit(float(avgdl)).alias("avgdl")
+        )
+    else:
+        stats = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # postings: filter to query terms BEFORE the explode leaves the stage —
     # the groupBy below shuffles only matching (id, term) rows
     tok = base.select(F.col(id_col), "dl", F.explode("_w").alias("term")).where(
         F.col("term").isin(list(query_terms))
     )
     tf = tok.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    if materialize_postings:
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
@@ -108,10 +125,14 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
+    materialize_postings: bool = True,
 ) -> DataFrame:
     """Top-k documents by BM25 score, deterministic tie order (score desc,
     id asc). ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
     a per-partition top-k heap + single k-row merge, never a global sort.
     """
-    s = bm25_scores(df, query_terms, text_col, id_col, k1, b)
+    s = bm25_scores(
+        df, query_terms, text_col, id_col, k1, b, corpus_stats, materialize_postings
+    )
     return s.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

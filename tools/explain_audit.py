@@ -350,6 +350,53 @@ def main() -> None:
         ("connected components — one large-star/small-star round", p17, notes17)
     )
 
+    # 18. BM25 — posting filter BEFORE any exchange, idf/stats broadcast
+    from osmgraft.operators.retrieval import bm25_topk
+
+    # materialize_postings=False exposes the full lineage: the default
+    # lazily checkpoints the aggregated tf frame (the plan then shows a
+    # Scan ExistingRDD), which is what caps corpus scans at two
+    q18 = bm25_topk(
+        d.select("doc_id", "text"),
+        ["spark", "join", "window"],
+        k=100,
+        materialize_postings=False,
+    )
+    p18 = plan_of(q18)
+    n_bcast18 = p18.count("BroadcastExchange")
+    # the query-term IN filter must sit in the scan stage, i.e. its detail
+    # node precedes the first shuffle's hashpartitioning detail (node
+    # numbering follows the plan tree bottom-up)
+    first_ex = p18.find("Arguments: hashpartitioning")
+    filt_pos = p18.find("IN (spark,join,window)")
+    notes18 = [
+        f"df + corpus-stats sides broadcast: {n_bcast18 >= 2} ({n_bcast18} BroadcastExchange)",
+        f"query-term posting filter precedes the first shuffle: "
+        f"{0 <= filt_pos < first_ex if first_ex != -1 else False}",
+        f"top-k is TakeOrdered, not a global sort: {'TakeOrderedAndProject' in p18}",
+        f"no Python operators: {'Python' not in p18}",
+        f"map-side partial tf aggregation: {'partial_count' in p18 or 'partial' in p18}",
+    ]
+    sections.append(("BM25 top-k — filtered postings, broadcast idf", p18, notes18))
+
+    # 19. duplicated-substring spans — one gram-hash shuffle, per-doc window
+    from osmgraft.operators.dedup import dup_spans
+
+    q19 = dup_spans(d.select("doc_id", "text"), n=5)
+    p19 = plan_of(q19)
+    n_gh = len(re.findall(r"hashpartitioning\(gh#", p19))
+    notes19 = [
+        f"dup-gram agg + semi-join co-partitioned on the gram hash: "
+        f"{n_gh >= 2} ({n_gh} hashpartitioning(gh) exchanges)",
+        f"island window partitioned by doc (never one task): "
+        f"{'SinglePartition' not in p19}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p19 and 'BroadcastNestedLoopJoin' not in p19}",
+        f"no Python operators (pure Catalyst): {'Python' not in p19}",
+    ]
+    sections.append(
+        ("dup_spans — gram-hash shuffle + per-doc island window", p19, notes19)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
