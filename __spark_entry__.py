@@ -1351,6 +1351,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _read(spark, sf, "documents").select("doc_id", "text")
         return dup_spans(d, n=5, min_docs=2)
 
+    # --- graph: fixed-iteration PageRank over a derived link graph ---------------
+    def q_pagerank(spark, sf):
+        from osmgraft.operators.graph import pagerank
+
+        d = _read(spark, sf, "documents").where(F.col("doc_id") < 5000)
+        edges = d.select(
+            (F.col("doc_id") % 500).alias("src"),
+            ((F.col("doc_id") * 13 + 7) % 500).alias("dst"),
+        )
+        return pagerank(edges, iterations=3)
+
     # --- curation: context-window chunking ---------------------------------------
     def q_chunk_docs(spark, sf):
         from osmgraft.operators.curation import chunk_docs
@@ -1427,10 +1438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dup_spans": q_dup_spans,
         "chunk_docs": q_chunk_docs,
+        "pagerank_hosts": q_pagerank,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from osmgraft.operators.graph import pagerank_oracle_sql
+
     atoi = (
         "coalesce(try_cast(regexp_extract({v}, '^[\\t\\n\\x0b\\x0c\\r ]*([+-]?[0-9]+)', 1) "
         "as bigint), 0)"
@@ -1957,6 +1971,13 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, min(pos) as start_word, cast(max(pos) + 4 as int) as end_word, "
             "cast(max(pos) - min(pos) + 5 as int) as span_words "
             "from hits group by doc_id, pos - rn"
+        ),
+        # unrolled-CTE replica of the int64 fixed-point PageRank recurrence
+        # (osmgraft/operators/graph.py) — value-identical, not approximate
+        "pagerank_hosts": pagerank_oracle_sql(
+            "select doc_id % 500 as src, (doc_id * 13 + 7) % 500 as dst "
+            "from documents where doc_id < 5000",
+            iterations=3,
         ),
         # chunk starts are multiples of the stride, so chunk_id = start // stride
         "chunk_docs": (

@@ -284,6 +284,14 @@ def main() -> None:
             bands=8,
             verify_threshold=0.5,
         ).count()
+        from osmgraft.operators.dedup import dup_spans
+        from osmgraft.operators.retrieval import bm25_topk
+
+        dslice = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        ).limit(200)
+        bm25_topk(dslice, ["spark", "join", "window"], k=10).count()
+        dup_spans(dslice, n=5).count()
 
     _warmup()
 
@@ -358,6 +366,20 @@ def main() -> None:
         corpus = d.where(F.col("doc_id") % 10 != 7)
         return contaminated_ids(corpus, bench_side, n=3, min_shared=2).count()
 
+    def q_bm25():
+        from osmgraft.operators.retrieval import bm25_topk
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        # top-k forces scoring of every matching document; the count is 100
+        # but the work is the full corpus tokenize + posting aggregation
+        return bm25_topk(d, ["spark", "join", "window"], k=100).count()
+
+    def q_dup_spans():
+        from osmgraft.operators.dedup import dup_spans
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+        return dup_spans(d, n=5).count()
+
     # codec throughput rows: staged (untimed) >=10^4-payload tables; each
     # query decodes every payload byte-for-byte on executors and reduces
     # to one number so nothing short-circuits the kernel
@@ -396,6 +418,8 @@ def main() -> None:
         ("ann_brute_topk", q_ann),
         ("decontam_3gram", q_decontam),
         ("cc_chains", q_components),
+        ("bm25_topk", q_bm25),
+        ("dup_spans_5gram", q_dup_spans),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),
