@@ -1349,7 +1349,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from osmgraft.operators.dedup import dup_spans
 
         d = _read(spark, sf, "documents").select("doc_id", "text")
-        return dup_spans(d, n=5, min_docs=2)
+        # gram_hash='md5': the engine-replayable oracle configuration
+        # (the library default is xxhash64, the narrower scale path)
+        return dup_spans(d, n=5, min_docs=2, gram_hash="md5")
+
+    # --- sketch: HyperLogLog distinct-token count ---------------------------------
+    def _hll_vals(spark, sf):
+        # (token, doc bucket) pairs: the synth vocabulary alone is ~40
+        # tokens — too few to exercise a sketch — so distinct values are
+        # token x doc-bucket (thousands at sf0.01)
+        from osmgraft.operators.dedup import tokens_expr
+
+        d = _read(spark, sf, "documents")
+        exp = d.select(
+            (F.col("doc_id") % 1000).cast("string").alias("_b"),
+            F.explode(tokens_expr(F.col("text"))).alias("_t"),
+        )
+        return exp.select(F.concat_ws("-", F.col("_t"), F.col("_b")).alias("w"))
+
+    def q_hll_registers(spark, sf):
+        from osmgraft.operators.sketch import hll_registers
+
+        return hll_registers(_hll_vals(spark, sf), "w", p=10)
+
+    def q_hll_estimate(spark, sf):
+        from osmgraft.operators.sketch import hll_count_distinct
+
+        return hll_count_distinct(_hll_vals(spark, sf), "w", p=10)
 
     # --- graph: fixed-iteration PageRank over a derived link graph ---------------
     def q_pagerank(spark, sf):
@@ -1439,11 +1465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "chunk_docs": q_chunk_docs,
         "pagerank_hosts": q_pagerank,
+        "hll_registers": q_hll_registers,
+        "hll_distinct_tokens": q_hll_estimate,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
+    from osmgraft.operators.sketch import hll_oracle_sql
 
     atoi = (
         "coalesce(try_cast(regexp_extract({v}, '^[\\t\\n\\x0b\\x0c\\r ]*([+-]?[0-9]+)', 1) "
@@ -1971,6 +2000,19 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, min(pos) as start_word, cast(max(pos) + 4 as int) as end_word, "
             "cast(max(pos) - min(pos) + 5 as int) as span_words "
             "from hits group by doc_id, pos - rn"
+        ),
+        # HyperLogLog: identical md5-low-64 hash, integer registers, and
+        # an order-free DECIMAL harmonic sum (osmgraft/operators/sketch.py)
+        "hll_registers": hll_oracle_sql(
+            f"select w || '-' || cast(doc_id % 1000 as varchar) as v "
+            f"from (select doc_id, unnest({tok}) as w from documents)",
+            p=10,
+            registers_only=True,
+        ),
+        "hll_distinct_tokens": hll_oracle_sql(
+            f"select w || '-' || cast(doc_id % 1000 as varchar) as v "
+            f"from (select doc_id, unnest({tok}) as w from documents)",
+            p=10,
         ),
         # unrolled-CTE replica of the int64 fixed-point PageRank recurrence
         # (osmgraft/operators/graph.py) — value-identical, not approximate

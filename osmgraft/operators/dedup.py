@@ -570,7 +570,7 @@ def dup_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    gram_hash: str = "md5",
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact duplicated-substring spans: per document, the MAXIMAL word
     intervals in which every length-``n`` word gram also occurs in at
@@ -592,11 +592,16 @@ def dup_spans(
     4. per-doc interval merge: ``pos - row_number()`` islands under a
        window PARTITIONED BY doc — no global sort, no driver data.
 
-    Grams travel as hashes, not strings: ``gram_hash='md5'`` (default) is
-    replayable in any engine (the DuckDB oracle runs it verbatim);
-    ``'xxhash64'`` halves the shuffle width for production (8-byte long
-    vs 32-char hex). A false gram-collision would need a 128-bit (resp.
-    64-bit) hash collision — negligible (resp. ~1e-9 at 10^9 grams).
+    Grams travel as hashes, not strings: ``gram_hash='xxhash64'``
+    (default — the scale path: an 8-byte codegen long through the
+    shuffle vs a 32-char hex string; measured ~1.2x faster end-to-end
+    at sf0.1 local[32], and the width gap compounds once the gram
+    exchange spills at real scale)
+    or ``'md5'``, which any engine replays bit-for-bit (the DuckDB
+    correctness oracle passes it explicitly, same convention as
+    ``jaccard_pairs(max_df=None)``). A false gram-collision would need
+    a 64-bit (resp. 128-bit) hash collision — ~1e-9 at 10^9 grams
+    (resp. negligible).
 
     Returns ``(id_col, start_word, end_word, span_words)``, start/end
     0-based inclusive word positions. Documents shorter than ``n`` words
