@@ -1353,6 +1353,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the library default is xxhash64, the narrower scale path)
         return dup_spans(d, n=5, min_docs=2, gram_hash="md5")
 
+    # --- curation: the composed end-to-end chain ----------------------------------
+    def q_curation_pipeline(spark, sf):
+        from osmgraft.operators.curation import curation_pipeline
+
+        d = _read(spark, sf, "documents").select("doc_id", "text")
+        corpus = d.where(F.col("doc_id") % 10 != 7)
+        dup = corpus.where(F.col("doc_id") < 300).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        bench = d.where(F.col("doc_id") % 10 == 7)
+        # planted exact duplicates must vanish at stage 1; sql_exact: the
+        # Knuth-hash sampling configuration the oracle replays.
+        # min_shared=10: the synth vocabulary is ~40 tokens, so 3-grams
+        # recur across unrelated docs — at the default threshold the
+        # decontamination stage would flag ~86% of this corpus
+        return curation_pipeline(
+            corpus.unionByName(dup), bench, decontam_min_shared=10, sql_exact=True
+        )
+
     # --- sketch: HyperLogLog distinct-token count ---------------------------------
     def _hll_vals(spark, sf):
         # (token, doc bucket) pairs: the synth vocabulary alone is ~40
@@ -1467,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank,
         "hll_registers": q_hll_registers,
         "hll_distinct_tokens": q_hll_estimate,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2000,6 +2020,40 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, min(pos) as start_word, cast(max(pos) + 4 as int) as end_word, "
             "cast(max(pos) - min(pos) + 5 as int) as span_words "
             "from hits group by doc_id, pos - rn"
+        ),
+        # the five curation stages as chained CTEs: exact dedup (min id per
+        # md5), quality predicate, 3-gram decontamination, Knuth-hash
+        # sample, overlapping chunking — chunk-for-chunk with Spark
+        "curation_pipeline": (
+            "with corpus as (select doc_id, text from documents where doc_id % 10 != 7 "
+            "union all select doc_id + 1000000 as doc_id, text from documents "
+            "where doc_id % 10 != 7 and doc_id < 300), "
+            "surv as (select doc_id, text from corpus where doc_id in "
+            "(select min(doc_id) from corpus group by md5(text))), "
+            "q as (select doc_id, text from surv where "
+            "len(string_split_regex(trim(text), '\\s+')) >= 5 and "
+            "cast(len(regexp_extract_all(text, '[^\\w\\s]')) as double)/length(text) <= 0.2 and "
+            "cast(len(regexp_extract_all(text, '[A-Za-z]')) as double)/length(text) >= 0.5), "
+            f"cw as (select doc_id, {tok} as ws from q), "
+            f"bw as (select {tok} as ws from documents where doc_id % 10 = 7), "
+            "cg as (select doc_id, unnest(case when len(ws) >= 3 then "
+            "list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) "
+            "else [array_to_string(ws, ' ')] end) as g from cw), "
+            "bg as (select distinct g from (select unnest(case when len(ws) >= 3 then "
+            "list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) "
+            "else [array_to_string(ws, ' ')] end) as g from bw)), "
+            "flag as (select doc_id from cg join bg using (g) "
+            "group by doc_id having count(*) >= 10), "
+            "kept as (select doc_id, text from q where doc_id not in "
+            "(select doc_id from flag)), "
+            "samp as (select doc_id, text from kept where "
+            "(((doc_id % 2147483648) + 5) * 2654435761 % 4294967296) / 4294967296.0 < 0.5), "
+            f"cbase as (select doc_id, {tok} as w from samp), "
+            "ce as (select doc_id, len(w) as n, w, "
+            "unnest(range(0, greatest(len(w) - 10, 1), 30)) as s from cbase) "
+            "select doc_id, cast(s // 30 as int) as chunk_id, cast(s as int) as start_word, "
+            "cast(least(40, n - s) as int) as n_words, "
+            "array_to_string(w[s + 1 : s + 40], ' ') as chunk_text from ce"
         ),
         # HyperLogLog: identical md5-low-64 hash, integer registers, and
         # an order-free DECIMAL harmonic sum (osmgraft/operators/sketch.py)

@@ -437,3 +437,55 @@ def chunk_docs(
             "chunk_text"
         ),
     )
+
+
+# --- composed end-to-end curation pipeline --------------------------------------
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    bench: DataFrame,
+    sample_fraction: float = 0.5,
+    seed: int = 5,
+    chunk_words: int = 40,
+    overlap: int = 10,
+    min_words: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+    decontam_n: int = 3,
+    decontam_min_shared: int = 2,
+    sql_exact: bool = False,
+) -> DataFrame:
+    """The standard pretraining curation chain as ONE composed plan:
+
+        exact dedup -> quality filter -> benchmark decontamination ->
+        deterministic hash sample -> context-window chunking
+
+    Composability is the point: every stage is the already-tested
+    operator, Catalyst fuses the narrow stages (quality predicate,
+    sample filter, chunking) into the scans around the two genuine
+    shuffles (the dedup hash groupBy and the decontamination per-doc
+    count), and the whole chain stays value-replayable in SQL — the
+    driver oracle runs the five stages as chained CTEs and matches
+    chunk-for-chunk. Order follows practice: dedup before quality
+    (cheapest mass reduction first), decontaminate after quality (the
+    gram explode runs on fewer docs), sample last so the kept fraction
+    applies to the clean pool, chunk at the very end (never chunk a
+    document you might drop).
+
+    Returns the chunk frame of :func:`chunk_docs` over the surviving
+    documents."""
+    from osmgraft.operators.dedup import exact_dedup
+    from osmgraft.operators.textstats import quality_filter
+
+    d = exact_dedup(docs)
+    d = quality_filter(
+        d,
+        min_words=min_words,
+        max_punct_ratio=max_punct_ratio,
+        min_alpha_ratio=min_alpha_ratio,
+    )
+    flagged = contaminated_ids(d, bench, n=decontam_n, min_shared=decontam_min_shared)
+    d = d.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    d = hash_sample(d, sample_fraction, seed=seed, sql_exact=sql_exact)
+    return chunk_docs(d, chunk_words=chunk_words, overlap=overlap)

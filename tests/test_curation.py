@@ -319,3 +319,64 @@ def test_sql_exact_hash_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and 150 < len(got) < 350
+
+
+def test_curation_pipeline_composed_stages(spark):
+    from osmgraft.operators.curation import curation_pipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 0
+            (2, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "LEAK one two LEAK three four LEAK five six LEAK seven"),  # contaminated
+            (4, "!!! ??? !!! ???"),  # fails quality (punct ratio, words)
+            (5, "phi chi psi omega aleph beth gimel daleth he waw"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "LEAK one two LEAK three four LEAK five six LEAK seven")],
+        "doc_id long, text string",
+    )
+    out = curation_pipeline(
+        corpus,
+        bench,
+        sample_fraction=1.0,  # keep everything that survives the filters
+        chunk_words=6,
+        overlap=2,
+        sql_exact=True,
+    )
+    rows = out.collect()
+    kept_docs = {r["doc_id"] for r in rows}
+    # dup (1), contaminated (3), low-quality (4) are gone; 0/2/5 survive
+    assert kept_docs == {0, 2, 5}
+    # 10-word docs, chunk 6 stride 4 -> starts 0, 4 per doc
+    per_doc = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_word"], r["n_words"]) for r in rows
+    )
+    assert per_doc == [
+        (0, 0, 0, 6), (0, 1, 4, 6),
+        (2, 0, 0, 6), (2, 1, 4, 6),
+        (5, 0, 0, 6), (5, 1, 4, 6),
+    ]
+
+
+def test_curation_pipeline_sampling_is_knuth_exact(spark):
+    from osmgraft.operators.curation import curation_pipeline, sample_hash01
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} unique{i} text{i} body{i} tail{i} end{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(999, "zzz yyy xxx www vvv")], "doc_id long, text string")
+    out = curation_pipeline(docs, bench, sample_fraction=0.5, seed=5, sql_exact=True)
+    got = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    expect = {
+        r["doc_id"]
+        for r in docs.where(
+            sample_hash01(F.col("doc_id"), seed=5, sql_exact=True) < 0.5
+        ).collect()
+    }
+    assert got == expect and 0 < len(got) < 40
