@@ -623,12 +623,23 @@ def dup_spans(
         .where(F.col("gram").isNotNull())
         .select(F.col(id_col), "pos", hasher(F.col("gram")).alias("gh"))
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("gh")
-    )
+    if min_docs == 2:
+        # "at least 2 distinct docs" == min(id) != max(id): a plain min/max
+        # partial aggregate instead of countDistinct's two-phase distinct
+        # expansion — same shuffle key, strictly less state per gram
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.min(id_col).alias("_a"), F.max(id_col).alias("_b"))
+            .where(F.col("_a") != F.col("_b"))
+            .select("gh")
+        )
+    else:
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("gh")
+        )
     hits = grams.join(dup, "gh", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))

@@ -75,18 +75,23 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # out-degree is static: fold it into the node frame ONCE so no round
+    # pays a ranks-deg join; each rank frame carries (id, deg, ri) across
+    # its checkpoint (+8 B/row, one join saved per iteration)
+    nd = nodes.join(deg, "id", "left").localCheckpoint(eager=False)
     # N crosses the driver once (a scalar); every per-node value stays
     # distributed. ri = rank * 1e12 held as int64.
     n = nodes.count()
-    ranks = nodes.withColumn("ri", F.floor(F.lit(1.0 / n) * sc).cast("long"))
+    ranks = nd.withColumn("ri", F.floor(F.lit(1.0 / n) * sc).cast("long"))
     for _ in range(iterations):
-        r = ranks.join(deg, "id", "left")
         # dangling mass: an integer sum — order-free — of one tiny aggregate
         dang_i = int(
-            r.where(F.col("deg").isNull()).agg(F.coalesce(F.sum("ri"), F.lit(0))).first()[0]
+            ranks.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("ri"), F.lit(0)))
+            .first()[0]
         )
         contrib = (
-            r.where(F.col("deg").isNotNull())
+            ranks.where(F.col("deg").isNotNull())
             .join(e, F.col("id") == F.col("src"))
             .select(
                 F.col("dst").alias("id"),
@@ -103,8 +108,8 @@ def pagerank(
             * (F.coalesce(F.col("_s"), F.lit(0)) / sc + F.lit(float(dang_i)) / sc / n)
         )
         ranks = (
-            nodes.join(contrib, "id", "left")
-            .select("id", F.floor(new_rank * sc).cast("long").alias("ri"))
+            nd.join(contrib, "id", "left")
+            .select("id", "deg", F.floor(new_rank * sc).cast("long").alias("ri"))
             .localCheckpoint(eager=False)
         )
     return ranks.select("id", (F.col("ri") / sc).alias("rank"))

@@ -50,17 +50,14 @@ def md5_low64_expr(col: Column) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), parts)
 
 
-def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
-    """HyperLogLog register table for the values in ``value_col``:
-    ``(bucket, rho)`` with one row per OCCUPIED bucket, bucket in
-    [0, 2^p), rho = 1 + leading-zero count of the (64-p)-bit hash suffix
-    (max over all values landing in the bucket). Pure integers — the
-    strongest possible oracle artifact. Merge sketches by unioning
-    register tables and re-running ``groupBy(bucket).max(rho)``."""
+def hll_bucket_rho(col: Column, p: int) -> tuple[Column, Column]:
+    """The (bucket, rho) pair for one value — shared by the batch register
+    pass and the streaming sketch (``osmgraft.streaming.ingest.
+    stream_distinct_sketch``)."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     sbits = 64 - p
-    h = md5_low64_expr(F.col(value_col))
+    h = md5_low64_expr(col)
     bucket = F.shiftrightunsigned(h, sbits)
     suffix = h.bitwiseAND(F.lit((1 << sbits) - 1))
     # rho = sbits - bit_length(suffix) + 1; bit_length via the base-2
@@ -68,6 +65,17 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     rho = F.when(suffix == 0, F.lit(sbits + 1)).otherwise(
         F.lit(sbits + 1) - F.length(F.conv(suffix, 10, 2))
     )
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog register table for the values in ``value_col``:
+    ``(bucket, rho)`` with one row per OCCUPIED bucket, bucket in
+    [0, 2^p), rho = 1 + leading-zero count of the (64-p)-bit hash suffix
+    (max over all values landing in the bucket). Pure integers — the
+    strongest possible oracle artifact. Merge sketches by unioning
+    register tables and re-running ``groupBy(bucket).max(rho)``."""
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(bucket.alias("bucket"), rho.alias("rho"))

@@ -294,3 +294,31 @@ def stream_dedup_documents(docs_stream: DataFrame, state_ttl: str | None = None)
         fp, key_cols=["_fp"], order_cols=["_fp", "doc_id"], state_ttl=state_ttl
     )
     return out.drop("_fp")
+
+
+def stream_distinct_sketch(stream: DataFrame, value_col: str, p: int = 12) -> DataFrame:
+    """Streaming HyperLogLog: a continuously-maintained distinct-count
+    register table over an unbounded stream.
+
+    The batch sketch (:mod:`osmgraft.operators.sketch`) is a
+    ``groupBy(bucket).max(rho)`` — and ``max`` is exactly the sketch's
+    merge operator, so the STREAMING version is the same aggregation run
+    by Structured Streaming: state is bounded at 2^p rows FOREVER (the
+    register table never grows with the data), no watermark needed, and
+    any micro-batch's output feeds :func:`osmgraft.operators.sketch.
+    hll_estimate` for a live distinct-count. This is the practical way to
+    track "distinct tokens/urls/docs seen so far" over a 10^12-row ingest
+    without a shuffle proportional to the data.
+
+    Use output mode "update" (emits changed registers per batch) or
+    "complete" (the full table; it is at most 2^p rows, so complete mode
+    is cheap here despite its usual cost)."""
+    from osmgraft.operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -217,3 +217,44 @@ def test_stateful_dedup_composes_with_labeling(spark, staged, tmp_path):
     )
     q.awaitTermination(180)
     assert spark.sql("select count(*) c from dedup_labels_stream").collect()[0]["c"] > 0
+
+
+def test_stream_distinct_sketch_matches_batch(spark, staged, tmp_path):
+    """Streaming HLL register table == the batch sketch over the same data
+    (max IS the merge operator), and so is the estimate."""
+    from osmgraft.operators.sketch import hll_estimate, hll_registers
+    from osmgraft.streaming.ingest import stream_distinct_sketch, stream_documents
+
+    def span_texts(df):
+        return (
+            df.select(F.explode("spans").alias("sp"))
+            .select(F.col("sp.text").alias("w"))
+            .where(F.col("w").isNotNull())
+        )
+
+    stream = stream_documents(spark, f"{staged}/documents.parquet")
+    vals = span_texts(stream)
+    q = (
+        stream_distinct_sketch(vals, "w", p=8)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["rho"])
+        for r in spark.sql("select * from hll_stream").collect()
+    }
+
+    bvals = span_texts(spark.read.parquet(f"{staged}/documents.parquet"))
+    want = {(r["bucket"], r["rho"]) for r in hll_registers(bvals, "w", p=8).collect()}
+    assert got == want and len(got) > 0
+
+    est_stream = hll_estimate(
+        spark.sql("select * from hll_stream"), p=8
+    ).collect()[0]
+    est_batch = hll_estimate(hll_registers(bvals, "w", p=8), p=8).collect()[0]
+    assert est_stream == est_batch
