@@ -397,6 +397,42 @@ def main() -> None:
         ("dup_spans — gram-hash shuffle + per-doc island window", p19, notes19)
     )
 
+    # 20. HyperLogLog — one bucket-keyed exchange, pure codegen hash
+    from osmgraft.operators.sketch import hll_registers
+
+    v20 = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    q20 = hll_registers(v20, "w", p=12)
+    p20 = plan_of(q20)
+    notes20 = [
+        f"exactly one exchange, keyed on the sketch bucket: "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p20)) == 1 and 'hashpartitioning(bucket#' in p20}",
+        f"map-side partial max before the exchange: {'partial_max' in p20}",
+        f"hash/bucket/rho pure Catalyst (no Python): {'Python' not in p20}",
+        f"scan pruned to the one input column: "
+        f"{'ReadSchema: struct<text:string>' in p20}",
+    ]
+    sections.append(("HyperLogLog registers — one 2^p-row exchange", p20, notes20))
+
+    # 21. composed curation pipeline — narrow stages fused around the
+    # dedup/decontam shuffles, bench grams broadcast
+    from osmgraft.operators.curation import curation_pipeline
+
+    corpus21 = d.select("doc_id", "text").where(F.col("doc_id") % 10 != 7)
+    bench21 = d.select("doc_id", "text").where(F.col("doc_id") % 10 == 7)
+    q21 = curation_pipeline(corpus21, bench21, decontam_min_shared=10, sql_exact=True)
+    p21 = plan_of(q21)
+    notes21 = [
+        f"benchmark gram set broadcast (no corpus-side gram shuffle): "
+        f"{'BroadcastExchange' in p21}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p21 and 'BroadcastNestedLoopJoin' not in p21}",
+        f"sample + quality predicates and chunking stay narrow (no Python): "
+        f"{'Python' not in p21}",
+        f"no single-partition stage: {'SinglePartition' not in p21}",
+    ]
+    sections.append(
+        ("curation pipeline — five stages, two real shuffles", p21, notes21)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
