@@ -2001,7 +2001,7 @@ def oracle_sql() -> dict[str, str]:
             "dfreq as (select term, count(*) as df from tf group by term) "
             "select tf.doc_id, count(*) as matched_terms, "
             "sum(cast(floor(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0) "
-            "* (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) "
+            "* ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))) "
             "* 1000000000.0) as bigint)) / 1000000000.0 as score "
             "from tf join dfreq using (term) cross join stats "
             "group by tf.doc_id order by score desc, tf.doc_id asc limit 100"

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -139,7 +140,10 @@ def main(argv: list[str] | None = None) -> None:
             extra=lambda df: assign_tiles(df, z=args.tile_zoom),
         )
         q.awaitTermination()
-        n = spark.read.parquet(args.out).count()
+        # a fully-caught-up checkpoint drains zero micro-batches, so
+        # foreachBatch never creates args.out — report 0 rows instead of
+        # crashing on PATH_NOT_FOUND
+        n = spark.read.parquet(args.out).count() if os.path.exists(args.out) else 0
         print(json.dumps({"status": "ok", "out": args.out, "rows": n, "mode": "streaming"}))
         if owns_session:
             spark.stop()

@@ -277,8 +277,12 @@ def remove_duplicate_lines(
     skew-join splits. Reassembly is one groupBy(``id_col``) packing
     (pos, line) structs — array_sort on doc-bounded groups, no window
     over an unbounded key."""
+    # \Q..\E quotes the separator so split sees the same LITERAL string
+    # array_join reassembles with — an unquoted "|" or "." separator
+    # would split as a regex but join as text, garbling the round-trip
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + line_sep + "\\E")).alias("_pos", "_line"),
     )
     hot = (
         lines.groupBy("_line")
@@ -418,8 +422,6 @@ def chunk_docs(
     if not 0 <= overlap < chunk_words:
         raise ValueError("need 0 <= overlap < chunk_words")
     stride = chunk_words - overlap
-    from osmgraft.operators.dedup import tokens_expr
-
     words = tokens_expr(F.col(text_col))
     base = df.select(F.col(id_col), words.alias("_w")).withColumn("_n", F.size("_w"))
     starts = F.sequence(

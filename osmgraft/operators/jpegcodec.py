@@ -927,8 +927,6 @@ def encode_jpeg_baseline(
                 code, length = (dc_codes if kind == "dc" else ac_codes)[sym]
                 w.write(code, length)
                 s = sym & 0x0F if kind == "ac" else sym
-                if kind == "dc":
-                    s = sym
                 if s:
                     w.write(val if val > 0 else val + (1 << s) - 1, s)
     w.pad_to_byte()

@@ -1029,6 +1029,11 @@ def decode_video_frames(
                 try:
                     meta = parse_avi_mjpeg(raw)
                     frames = meta["frames"]
+                    if not frames:
+                        # a structurally valid AVI whose movi list holds no
+                        # ..dc/..db chunks must route through the on_error
+                        # policy, not crash the task on frames[-1]
+                        raise ValueError("AVI contains no video frame chunks")
                     dur_ms = meta["n_frames"] * meta["us_per_frame"] / 1000.0
                     n_samples = max(int(dur_ms / 1000.0 * fps_out), 1)
                     for k in range(n_samples):

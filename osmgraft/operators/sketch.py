@@ -84,6 +84,21 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     )
 
 
+def _alpha_m(m: int) -> float:
+    """Bias-correction constant per Flajolet et al. 2007 §4: the small
+    register counts (m = 16/32/64, i.e. p = 4..6) need their tabulated
+    constants — the asymptotic 0.7213/(1 + 1.079/m) overestimates by up
+    to ~6.5% at m=16. Computed driver-side and embedded as ONE double
+    literal in both engines, so cross-engine parity is by construction."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
 def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     """One-row distinct-count estimate from a register table:
     ``(est, v_zero, m)``.
@@ -92,7 +107,8 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     registers is computed as the exact integer sum of ``2^(sbits+1-rho)``
     in DECIMAL(38,0) (every term and the total are exact; empty registers
     contribute the known constant), converted to double ONCE. alpha is
-    built from the same literal expression both engines evaluate. Small
+    one shared double literal (:func:`_alpha_m`) embedded in both
+    engines, with the paper's tabulated constants below p=7. Small
     range (E <= 2.5m, empty buckets remain) switches to linear counting
     ``m * ln(m / v_zero)`` per the original paper."""
     if not 4 <= p <= 18:
@@ -114,7 +130,7 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         F.coalesce(F.col("s_occ"), F.lit(0).cast("decimal(38,0)"))
         + v_zero.cast("decimal(38,0)") * F.lit(1 << (sbits + 1)).cast("decimal(38,0)")
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    alpha = F.lit(_alpha_m(m))
     raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(scale) / s_total.cast("double")
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (v_zero > 0),
@@ -157,7 +173,7 @@ def hll_oracle_sql(values_cte: str, p: int = 12, registers_only: bool = False) -
         f"coalesce(s_occ, cast(0 as decimal(38,0))) + "
         f"cast(cast({m} as bigint) - n_occ as decimal(38,0)) * "
         f"cast({1 << (sbits + 1)} as decimal(38,0)) as s_total from hll_a), "
-        f"hll_e as (select v_zero, (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * "
+        f"hll_e as (select v_zero, cast({_alpha_m(m)!r} as double) * {float(m)} * "
         f"{float(m)} * {scale} / cast(s_total as double) as raw from hll_t) "
         f"select case when raw <= {2.5 * m} and v_zero > 0 "
         f"then {float(m)} * ln({float(m)} / cast(v_zero as double)) else raw end as est, "

@@ -201,6 +201,11 @@ def resume_or_compute(
         meta = read_lineage(cpath)
         if meta.get("n_chunks") != n_chunks:
             continue  # written under a different modulus: row set differs
+        if meta.get("chunk_by") != chunk_by:
+            # same modulus but different hash columns: pmod(xxhash64(*cols),
+            # N) assigns a different row set per chunk, so mixing would
+            # drop/duplicate rows exactly like an n_chunks mismatch
+            continue
         existing[i] = meta
     if len(existing) == n_chunks:
         if not os.path.exists(os.path.join(path, LINEAGE_FILE)):

@@ -114,3 +114,37 @@ def test_decode_video_frames_spark(spark):
         assert (r.width, r.height) == (img.shape[1], img.shape[0])
         assert r.px_sum == int(img.astype(np.int64).sum())
         assert r.frame_ms == int(k * 500)
+
+
+def _avi_no_frames(total_frames: int = 5, us_per_frame: int = 100_000) -> bytes:
+    """Structurally valid RIFF-AVI: avih header claims frames, but the
+    movi list holds zero ..dc/..db chunks."""
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, total_frames, 0, 1, 0, 32, 24, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", 4) + b"movi"
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_zero_frame_avi_routes_through_on_error(spark):
+    """An AVI whose movi list is empty must hit the on_error policy, not
+    crash the task with an uncaught IndexError on frames[-1]."""
+    p = _avi_no_frames()
+    meta = parse_avi_mjpeg(p)  # the container itself parses fine...
+    assert meta["frames"] == [] and meta["n_frames"] == 5
+
+    media = spark.createDataFrame(
+        [(0, bytearray(p)), (1, bytearray(encode_avi_mjpeg(_frames(4), fps=4.0)))],
+        "media_id long, payload binary",
+    )
+    # skip: the bad clip contributes nothing, the good clip still decodes
+    rows = decode_video_frames(media, fps_out=2.0, on_error="skip").collect()
+    assert {r.media_id for r in rows} == {1}
+    # raise: surfaces as a task error (ValueError inside the kernel)
+    with pytest.raises(Exception, match="no video frame"):
+        decode_video_frames(media, fps_out=2.0, on_error="raise").collect()

@@ -380,3 +380,25 @@ def test_curation_pipeline_sampling_is_knuth_exact(spark):
         ).collect()
     }
     assert got == expect and 0 < len(got) < 40
+
+
+def test_remove_duplicate_lines_metachar_separator_roundtrip(spark):
+    """line_sep is a LITERAL in both split and join: a separator that is a
+    regex metacharacter ('|', '.') must round-trip, not split per-char."""
+    from osmgraft.operators.curation import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "ad unit|keep me|ad unit"), (2, "ad unit|other text")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(df, min_df=2, line_sep="|").collect()
+    }
+    assert out == {1: "keep me", 2: "other text"}
+    # nothing hot at min_df=4 ('ad unit' occurs 3x): byte-identical roundtrip
+    out4 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(df, min_df=4, line_sep="|").collect()
+    }
+    assert out4 == {1: "ad unit|keep me|ad unit", 2: "ad unit|other text"}

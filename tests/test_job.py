@@ -145,6 +145,18 @@ def test_job_cli_streaming_incremental(spark, tmp_path, capsys):
     want_set = {(r["osm_id"], r["label"]) for r in want.collect()}
     assert got_set == want_set
 
+    # fully-caught-up checkpoint + fresh out dir: zero micro-batches fire,
+    # foreachBatch never creates the path — the job must report rows 0,
+    # not crash on PATH_NOT_FOUND reading back a sink it never wrote
+    out_empty = str(tmp_path / "labels_stream_empty")
+    job.main([
+        "--docs", src, "--blobs", blobs, "--out", out_empty,
+        "--streaming", "--checkpoint", ckpt, "--dedup-docs",
+        "--max-files-per-trigger", "1", "--tile-zoom", "12",
+    ])
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["rows"] == 0 and not os.path.exists(out_empty)
+
     # guard rails: config conflicts fail fast
     with pytest.raises(SystemExit):
         job.main(argv + ["--text-format"])

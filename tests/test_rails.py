@@ -274,3 +274,32 @@ def test_adaptive_split_checkpoints_only_hot_branch(spark, monkeypatch):
     assert sizes[0] == 1000
     assert len(sizes) >= 2
     assert all(s <= 250 for s in sizes[1:]), sizes
+
+
+def test_lineage_chunk_by_mismatch_recomputes(spark, tmp_path):
+    """Same n_chunks but different chunk_by columns must also be rejected:
+    pmod(xxhash64(*cols), N) under different cols assigns a different row
+    set per chunk, so donating old chunks would drop/duplicate rows."""
+    import os
+
+    from osmgraft.plans.lineage import materialize_chunked, read_lineage, resume_or_compute
+
+    path = str(tmp_path / "stage4")
+    df = spark.range(600).withColumn("v", F.col("id") * 7)
+    materialize_chunked(df, path, "stage4", n_chunks=2, chunk_by=["id"])
+    assert read_lineage(os.path.join(path, "chunk-00000"))["chunk_by"] == ["id"]
+    os.remove(os.path.join(path, "_lineage.json"))  # simulate mid-stage kill
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(600).withColumn("v", F.col("id") * 7)
+
+    out = resume_or_compute(spark, path, "stage4", builder, n_chunks=2, chunk_by=["v"])
+    assert calls == [1]  # stale chunk_by rejected -> full recompute
+    got = sorted((r["id"], r["v"]) for r in out.collect())
+    assert got == [(i, 7 * i) for i in range(600)]  # no drops, no dups
+    meta = read_lineage(path)
+    assert meta["n_chunks"] == 2 and meta["total_rows"] == 600
+    assert all(c["chunk_by"] == ["v"] for c in meta["chunks"])

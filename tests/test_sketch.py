@@ -99,3 +99,34 @@ def test_nulls_ignored_and_p_validated(spark):
         hll_registers(df, "v", p=3)
     with pytest.raises(ValueError):
         hll_oracle_sql("select 1 as v", p=19)
+
+
+def test_small_p_uses_tabulated_alpha(spark):
+    """p=4..6 must use the paper's tabulated constants (0.673/0.697/0.709):
+    the asymptotic 0.7213/(1+1.079/m) formula overestimates by ~6.5% at
+    m=16. Checked two ways: the constant itself, and end-to-end accuracy
+    outside the linear-counting regime staying within theory."""
+    from osmgraft.operators.sketch import _alpha_m
+
+    assert (_alpha_m(16), _alpha_m(32), _alpha_m(64)) == (0.673, 0.697, 0.709)
+    assert abs(_alpha_m(4096) - 0.7213 / (1.0 + 1.079 / 4096)) == 0.0
+
+    # n >> 2.5*m so the raw estimator (not linear counting) is exercised
+    for n, p, sigma_mult in ((5000, 4, 4), (5000, 6, 4)):
+        est = hll_count_distinct(_vals(spark, [f"s{i}" for i in range(n)]), "v", p=p)
+        got = est.collect()[0]["est"]
+        sigma = 1.04 / math.sqrt(1 << p)
+        assert abs(got - n) / n < sigma_mult * sigma
+
+
+def test_small_p_estimate_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("create table vals(v varchar)")
+    for n, p in ((5000, 4), (3000, 5), (2000, 6)):
+        xs = [f"q{i}" for i in range(n)]
+        est = hll_count_distinct(_vals(spark, xs), "v", p=p).collect()[0]
+        con.execute("delete from vals")
+        con.executemany("insert into vals values (?)", [(x,) for x in xs])
+        got = con.execute(hll_oracle_sql("select v from vals", p=p)).fetchone()
+        assert (est["est"], est["v_zero"], est["m"]) == got
