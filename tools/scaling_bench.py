@@ -238,7 +238,13 @@ def write_report(r: dict) -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     cal_lo = r["calib_units_per_sec"][lo]
     cal_hi = r["calib_units_per_sec"][hi]
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # never clobber the curated multi-campaign write-up: once a human (or
+    # a later session) has grown BASELINE.md past this template, fresh
+    # campaigns land in BASELINE_latest.md for manual merging
+    report_path = f"{REPO}/BENCH/BASELINE.md"
+    if os.path.exists(report_path) and "## History" in open(report_path).read():
+        report_path = f"{REPO}/BENCH/BASELINE_latest.md"
+    with open(report_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
