@@ -34,6 +34,32 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Deterministic URL synthesis shared VERBATIM by the domain_caps Spark
+# query (via F.expr) and its DuckDB oracle — the documents table has no
+# URL column, so both engines derive the same one from (doc_id, source).
+# Coverage by construction: mixed-case schemes/hosts, default and
+# non-default ports, tracking params, fragments, multi-part TLDs, and
+# non-URL rows (mailto / free text) that must yield NULLs.
+_URL_FRAG = (
+    "case when doc_id % 97 = 0 then 'mailto:a@b.com' "
+    "when doc_id % 89 = 0 then 'not a url' "
+    "else concat("
+    "case when doc_id % 3 = 0 then 'https' when doc_id % 3 = 1 then 'HTTP' "
+    "else 'HtTpS' end, "
+    "'://', "
+    "case when doc_id % 2 = 0 then 'WWW.' else '' end, "
+    "source, "
+    "case when doc_id % 4 = 0 then '.CO.UK' when doc_id % 4 = 1 then '.com' "
+    "when doc_id % 4 = 2 then '.Example.COM' else '.org' end, "
+    "case when doc_id % 5 = 0 then ':443' when doc_id % 5 = 1 then ':80' "
+    "when doc_id % 5 = 2 then ':8080' else '' end, "
+    "'/p/', doc_id, "
+    "case when doc_id % 3 = 0 then concat('?utm_source=a&q=', doc_id % 7) "
+    "when doc_id % 3 = 1 then '?utm_campaign=x&gclid=1' else '' end, "
+    "case when doc_id % 2 = 1 then '#sec' else '' end) end"
+)
+
+
 def _synth_docs(spark: SparkSession, n_docs: int = 1200):
     from osmgraft.sources.synth import SynthParams, synth_blobs, synth_documents
 
@@ -1416,6 +1442,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return chunk_docs(d, chunk_words=40, overlap=10)
 
+    # --- curation: URL canonicalization + per-domain caps --------------------
+    def q_domain_caps(spark, sf):
+        from osmgraft.operators.urltools import domain_caps
+
+        d = (
+            _read(spark, sf, "documents")
+            .where(F.col("doc_id") < 1500)
+            .select("doc_id", "source", "n_chars")
+            .withColumn("url", F.expr(_URL_FRAG))
+        )
+        out = domain_caps(d, url_col="url", quality_col="n_chars", max_per_domain=3)
+        return out.select(
+            "doc_id",
+            "url_canon",
+            "domain",
+            F.col("domain_rank").cast("int").alias("domain_rank"),
+            F.col("kept").cast("int").alias("kept"),
+        )
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -1487,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "hll_distinct_tokens": q_hll_estimate,
         "curation_pipeline": q_curation_pipeline,
+        "domain_caps": q_domain_caps,
     }
 
 
@@ -2083,5 +2129,53 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(s // 30 as int) as chunk_id, cast(s as int) as start_word, "
             "cast(least(40, n - s) as int) as n_words, "
             "array_to_string(w[s + 1 : s + 40], ' ') as chunk_text from e"
+        ),
+        # URL canonicalization + registrable domain + per-domain cap,
+        # reimplemented end-to-end in DuckDB string/list functions
+        # (urltools.py is pure Catalyst; this is the independent replica)
+        "domain_caps": (
+            "with d as (select doc_id, source, n_chars from documents "
+            "where doc_id < 1500), "
+            f"u as (select doc_id, n_chars, {_URL_FRAG} as url from d), "
+            "p1 as (select doc_id, n_chars, url, "
+            "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) as s0, "
+            "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$', 1) as rest "
+            "from u), "
+            "p2 as (select *, case when s0 in ('http','https') then s0 end as scheme, "
+            "split_part(rest, '#', 1) as nofrag from p1), "
+            "p3 as (select *, regexp_extract(nofrag, '^([^/?]*)', 1) as hostport from p2), "
+            "p4 as (select *, lower(split_part(hostport, ':', 1)) as host, "
+            "case when contains(hostport, ':') then "
+            "substr(hostport, length(split_part(hostport, ':', 1)) + 2) else '' end as port, "
+            "substr(nofrag, length(hostport) + 1) as pathq from p3), "
+            "p5 as (select *, split_part(pathq, '?', 1) as path, "
+            "case when contains(pathq, '?') then "
+            "substr(pathq, length(split_part(pathq, '?', 1)) + 2) else '' end as query "
+            "from p4), "
+            "p6 as (select *, list_filter(string_split(query, '&'), "
+            "x -> x <> '' and not starts_with(x, 'utm_') and "
+            "not starts_with(x, 'fbclid') and not starts_with(x, 'gclid')) as kp from p5), "
+            "p7 as (select *, "
+            "case when len(kp) > 0 then '?' || array_to_string(kp, '&') else '' end as qout, "
+            "case when port <> '' and not (scheme = 'http' and port = '80') "
+            "and not (scheme = 'https' and port = '443') "
+            "then ':' || port else '' end as portpart from p6), "
+            "p8 as (select doc_id, n_chars, scheme, host, "
+            "case when scheme is not null and host <> '' then "
+            "scheme || '://' || host || portpart || path || qout end as url_canon, "
+            "string_split(host, '.') as labs from p7), "
+            "p9 as (select doc_id, n_chars, url_canon, "
+            "case when scheme is null or host = '' then null "
+            "when len(labs) <= 1 then host "
+            "when len(labs) >= 3 and (labs[-2] || '.' || labs[-1]) in "
+            "('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',"
+            "'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za') "
+            "then labs[-3] || '.' || labs[-2] || '.' || labs[-1] "
+            "else labs[-2] || '.' || labs[-1] end as domain from p8) "
+            "select doc_id, url_canon, domain, "
+            "cast(row_number() over (partition by domain "
+            "order by n_chars desc, doc_id asc) as int) as domain_rank, "
+            "cast((domain is not null and row_number() over (partition by domain "
+            "order by n_chars desc, doc_id asc) <= 3) as int) as kept from p9"
         ),
     }
