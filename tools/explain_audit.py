@@ -433,6 +433,24 @@ def main() -> None:
         ("curation pipeline — five stages, two real shuffles", p21, notes21)
     )
 
+    # 22. domain caps — URL canonicalize/domain ride the scan; the only
+    # exchange is the per-domain rank window
+    import __spark_entry__ as entry_mod
+
+    q22 = entry_mod.queries()["domain_caps"](spark, SF)
+    p22 = plan_of(q22)
+    notes22 = [
+        f"canonicalize + domain are pure Catalyst (no Python): {'Python' not in p22}",
+        f"exactly one exchange (the domain window): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p22)) == 1 and 'hashpartitioning(domain#' in p22}",
+        f"scan pruned to (doc_id, source, n_chars) — text never read: "
+        f"{'text:string' not in p22}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p22 and 'BroadcastNestedLoopJoin' not in p22}",
+    ]
+    sections.append(
+        ("domain caps — URL curation rail, one window exchange", p22, notes22)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
