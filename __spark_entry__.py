@@ -1087,6 +1087,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
         ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
 
+    # --- gap-based sessionization (one shuffle: window + refined-key agg) ---------------
+    def q_sessionize_events(spark, sf):
+        from osmgraft.operators.sessions import session_stats
+
+        return session_stats(_read(spark, sf, "events"))
+
     # --- window top-k ------------------------------------------------------------------------
     def q_window_topk(spark, sf):
         from pyspark.sql import Window
@@ -1500,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_brute_topk": q_ann_brute,
         "events_daily": q_events_daily,
+        "sessionize_events": q_sessionize_events,
         "window_topk": q_window_topk,
         # engine-native, rows-only:
         "osm_label_pipeline": q_osm_labels,
@@ -1894,6 +1901,26 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": (
             "select user_id, cast(date_trunc('day', ts) as timestamp) as day, count(*) as n_events, "
             "round(sum(value), 4) as total_value from events group by 1, 2"
+        ),
+        "sessionize_events": (
+            # same second-truncated gap predicate as the Spark side:
+            # date_diff('second', a, b) counts second-boundary crossings,
+            # which equals cast(b as long) - cast(a as long)
+            "with lagged as (select user_id, event_id, ts, value, "
+            "lag(ts) over (partition by user_id order by ts asc, event_id asc) as prev_ts "
+            "from events), "
+            "flagged as (select *, case when prev_ts is null "
+            "or date_diff('second', prev_ts, ts) > 1800 then 1 else 0 end as is_new "
+            "from lagged), "
+            "sess as (select *, sum(is_new) over (partition by user_id "
+            "order by ts asc, event_id asc rows unbounded preceding) as session_seq "
+            "from flagged) "
+            "select user_id, cast(session_seq as bigint) as session_seq, "
+            "count(*) as n_events, "
+            "min(ts) as session_start, max(ts) as session_end, "
+            "cast(date_diff('second', min(ts), max(ts)) as bigint) as duration_s, "
+            "round(sum(value), 4) as total_value "
+            "from sess group by 1, 2"
         ),
         "window_topk": (
             "select o_custkey, o_orderkey, rn from (select o_custkey, o_orderkey, "

@@ -451,6 +451,23 @@ def main() -> None:
         ("domain caps — URL curation rail, one window exchange", p22, notes22)
     )
 
+    # 23. sessionization — the window and the refined-key session rollup
+    # share ONE exchange (hashpartitioning on user_id); no Python eval
+    q23 = entry_mod.queries()["sessionize_events"](spark, SF)
+    p23 = plan_of(q23)
+    notes23 = [
+        f"exactly one exchange (user_id hash): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p23)) == 1 and 'hashpartitioning(user_id#' in p23}",
+        f"session rollup reuses the window partitioning (no second shuffle): "
+        f"{'HashAggregate' in p23}",
+        f"pure Catalyst (no Python): {'Python' not in p23}",
+        f"scan pruned — event_type/props never read: "
+        f"{'event_type' not in p23 and 'props' not in p23}",
+    ]
+    sections.append(
+        ("sessionization — one shuffle, window + in-partition rollup", p23, notes23)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
