@@ -1467,6 +1467,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("kept").cast("int").alias("kept"),
         )
 
+    # --- sketch: Count-Min weighted heavy-hitter point estimates -----------------
+    def q_cms_topk(spark, sf):
+        from osmgraft.operators.sketch import cms_point_query, cms_table
+
+        d = _read(spark, sf, "documents").select(
+            (F.col("doc_id") % 37).cast("string").alias("v"), "n_chars"
+        )
+        table = cms_table(d, "v", d=4, w=256, weight_col="n_chars")
+        probes = spark.range(40).select(F.col("id").cast("string").alias("v"))
+        return cms_point_query(table, probes, "v", d=4, w=256)
+
+    # --- sketch: fixed-bin histogram quantiles ------------------------------------
+    def q_hist_quantiles(spark, sf):
+        from osmgraft.operators.sketch import hist_bins, hist_quantiles
+
+        d = _read(spark, sf, "documents")
+        bins = hist_bins(d, "n_chars", lo=0.0, hi=2048.0, nbins=256)
+        return hist_quantiles(
+            bins, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], lo=0.0, hi=2048.0, nbins=256
+        )
+
+    # --- layout: Z-order (Morton) clustering key ----------------------------------
+    def q_zorder_keys(spark, sf):
+        from osmgraft.operators.layout import zorder_key
+
+        pts = _pts(spark, sf)
+        return pts.select("pid", zorder_key(F.col("lat"), F.col("lon"), 16))
+
+    # --- tiles: multi-resolution rollup pyramid -----------------------------------
+    def q_tile_pyramid(spark, sf):
+        from osmgraft.operators.tiles import tile_pyramid
+
+        pts = _pts(spark, sf)
+        return tile_pyramid(pts, z_max=8, z_min=5, rank_col="pid")
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -1540,12 +1575,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_estimate,
         "curation_pipeline": q_curation_pipeline,
         "domain_caps": q_domain_caps,
+        "cms_heavy_hitters": q_cms_topk,
+        "hist_quantiles": q_hist_quantiles,
+        "zorder_keys": q_zorder_keys,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
-    from osmgraft.operators.sketch import hll_oracle_sql
+    from osmgraft.operators.layout import zorder_oracle_sql
+    from osmgraft.operators.sketch import (
+        cms_oracle_sql,
+        hist_quantiles_oracle_sql,
+        hll_oracle_sql,
+    )
+
+    def _tile_level_sql(z: int) -> str:
+        # identical Web-Mercator formula as tiles.tile_xy, aggregated
+        # DIRECTLY from the points at zoom z — so the pyramid oracle also
+        # certifies the parent-relation rollup identity per level
+        n = 1 << z
+        return (
+            f"select {z} as tile_z, "
+            f"cast(least(floor((lon+180.0)/360.0*{n}), {n - 1}) as bigint) as tile_x, "
+            f"cast(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) "
+            f"+ 1.0/cos(radians(least(greatest(lat, -85.05112878), 85.05112878))))/pi())/2.0*{n}), 0), {n - 1}) as bigint) as tile_y, "
+            f"count(*) as n_labels, min(pid) as best_rank "
+            f"from ({_PTS_SQL}) p group by 1, 2, 3"
+        )
 
     atoi = (
         "coalesce(try_cast(regexp_extract({v}, '^[\\t\\n\\x0b\\x0c\\r ]*([+-]?[0-9]+)', 1) "
@@ -2205,4 +2263,28 @@ def oracle_sql() -> dict[str, str]:
             "cast((domain is not null and row_number() over (partition by domain "
             "order by n_chars desc, doc_id asc) <= 3) as int) as kept from p9"
         ),
+        # Count-Min: identical row-salted md5 hash + power-of-two mask +
+        # integer sums replay bit-exactly (osmgraft/operators/sketch.py)
+        "cms_heavy_hitters": cms_oracle_sql(
+            "select cast(doc_id % 37 as varchar) as v, n_chars from documents",
+            "select cast(range as varchar) as v from range(40)",
+            d=4,
+            w=256,
+            weight="n_chars",
+        ),
+        # fixed-bin histogram: identical clamp/floor binning + integer
+        # cumulative ranks — deterministic, unlike approx_percentile
+        "hist_quantiles": hist_quantiles_oracle_sql(
+            "select n_chars as v from documents",
+            [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+            lo=0.0,
+            hi=2048.0,
+            nbins=256,
+        ),
+        # Morton key: same quantization + same spread masks; bigint bit
+        # ops evaluate identically in both engines
+        "zorder_keys": zorder_oracle_sql(_PTS_SQL, bits=16),
+        # per-level DIRECT aggregation (no rollup) — equality with the
+        # engine's cached single-scan rollup proves the parent identity
+        "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),
     }

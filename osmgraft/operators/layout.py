@@ -1,0 +1,148 @@
+"""Z-order (Morton) spatial data layout for scan pruning at rest.
+
+At 10^12 rows the cheapest query is the one that never reads the data:
+parquet/Iceberg files carry per-column min/max statistics, and a reader
+skips any file whose stats exclude the predicate. Row order decides
+whether those stats bite — files written in ingest order have every
+file spanning the whole globe (min/max covers everything, zero skips),
+while files CLUSTERED on a space-filling curve give each file a narrow
+key interval, so a spatial box query touches only the files whose
+interval intersects the box's curve ranges. This is the standard
+Iceberg/Delta "Z-ORDER BY" layout rail, implemented here as pure
+Catalyst bit arithmetic (replayable bit-for-bit in DuckDB) plus a
+range-partitioned sorted write.
+
+The curve: 2-D Morton interleave of the quantized (lon, lat) grid
+coordinates — lon bits at even positions, lat bits at odd. A quadtree
+cell at level L <= bits is exactly one CONTIGUOUS key range
+(``zrange_for_quad``), which is what makes file-level min/max pruning
+effective: an aligned query box = a handful of interval-overlap tests
+against file footers, no data read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# part1by1 spread masks: after step k each source bit sits 2^k apart.
+# All masks are < 2^63, so the same literals work for Spark's signed
+# long and DuckDB's BIGINT.
+_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _part1by1(x: Column) -> Column:
+    """Spread the low 32 bits of ``x`` to even bit positions (classic
+    magic-mask interleave, 5 shift/or/and steps, all whole-stage
+    codegen)."""
+    for shift, mask in _SPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def grid_xy(lat: Column, lon: Column, bits: int) -> tuple[Column, Column]:
+    """Quantize lon/lat onto the 2^bits x 2^bits equirectangular grid
+    (clamped; lon=180 / lat=90 land in the top cell)."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    n = 1 << bits
+    gx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    gy = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(n - 1)).cast("long")  # noqa: E731
+    return clamp(gx), clamp(gy)
+
+
+def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
+    """The Morton key: interleave(grid_x, grid_y), lon bits even / lat
+    bits odd, a non-negative long in [0, 4^bits)."""
+    gx, gy = grid_xy(lat, lon, bits)
+    return _part1by1(gx).bitwiseOR(F.shiftleft(_part1by1(gy), 1)).alias("zkey")
+
+
+def zorder_oracle_sql(pts_sql: str, bits: int = 16) -> str:
+    """DuckDB replica of :func:`zorder_key` over ``pts_sql`` (columns
+    ``pid, lat, lon``): identical quantization, identical spread masks
+    — bigint bit ops evaluate the same in both engines."""
+    n = 1 << bits
+
+    def spread(expr: str) -> str:
+        for shift, mask in _SPREAD:
+            expr = f"(({expr}) | (({expr}) << {shift})) & {mask}"
+        return expr
+
+    gx = (
+        f"cast(least(greatest(floor((lon + 180.0) / 360.0 * {float(n)!r}), 0), "
+        f"{n - 1}) as bigint)"
+    )
+    gy = (
+        f"cast(least(greatest(floor((lat + 90.0) / 180.0 * {float(n)!r}), 0), "
+        f"{n - 1}) as bigint)"
+    )
+    return (
+        f"with zo_g as (select pid, {gx} as gx, {gy} as gy from ({pts_sql})) "
+        f"select pid, ({spread('gx')}) | (({spread('gy')}) << 1) as zkey from zo_g"
+    )
+
+
+def zrange_for_quad(qx: int, qy: int, level: int, bits: int = 16) -> tuple[int, int]:
+    """The contiguous [lo, hi] Morton-key range of the quadtree cell
+    with grid prefix (qx, qy) at ``level`` (level 0 = whole grid). Every
+    key of every point inside the cell falls in this range and vice
+    versa — the property file pruning relies on."""
+    if not 0 <= level <= bits:
+        raise ValueError("level must be in [0, bits]")
+    if not (0 <= qx < 1 << level and 0 <= qy < 1 << level):
+        raise ValueError("quad coords out of range for level")
+    prefix = 0
+    for i in range(level):
+        prefix |= ((qx >> i) & 1) << (2 * i) | ((qy >> i) & 1) << (2 * i + 1)
+    shift = 2 * (bits - level)
+    return prefix << shift, ((prefix + 1) << shift) - 1
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    n_files: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    bits: int = 16,
+) -> DataFrame:
+    """Lay the frame out for writing: attach ``zkey``, range-partition
+    on it into ``n_files`` splits (Spark samples the key distribution,
+    so skewed geographies still get balanced files) and sort within each
+    split. Writing the result with ``.write.parquet`` yields one file
+    per partition whose zkey (and therefore lat/lon box) min/max span is
+    ~1/n_files of the curve instead of all of it."""
+    keyed = df.withColumn("zkey", zorder_key(F.col(lat_col), F.col(lon_col), bits))
+    return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+
+
+def file_zkey_stats(spark, path: str) -> DataFrame:
+    """Per-file (file, zkey_min, zkey_max) read back from a parquet
+    directory — the same numbers a pruning reader gets from footers
+    alone. Used by tests/benchmarks to measure layout quality; the scan
+    here reads only the zkey column."""
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            "zkey",
+        )
+        .groupBy("file")
+        .agg(F.min("zkey").alias("zkey_min"), F.max("zkey").alias("zkey_max"))
+    )
+
+
+def pruned_fraction(stats: list[tuple], lo: int, hi: int) -> float:
+    """Fraction of files a min/max pruning reader SKIPS for the key
+    range [lo, hi], given ``(file, zkey_min, zkey_max)`` rows."""
+    if not stats:
+        raise ValueError("no files")
+    hit = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
+    return 1.0 - hit / len(stats)

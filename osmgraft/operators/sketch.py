@@ -1,4 +1,5 @@
-"""Mergeable sketches for corpus-scale statistics: HyperLogLog.
+"""Mergeable sketches for corpus-scale statistics: HyperLogLog,
+Count-Min (heavy-hitter frequency), and fixed-bin histogram quantiles.
 
 Counting distinct values exactly costs a full shuffle of the distinct
 keys — at 10^12 tokens that is the most expensive aggregation in the
@@ -32,7 +33,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,4 +179,234 @@ def hll_oracle_sql(values_cte: str, p: int = 12, registers_only: bool = False) -
         f"select case when raw <= {2.5 * m} and v_zero > 0 "
         f"then {float(m)} * ln({float(m)} / cast(v_zero as double)) else raw end as est, "
         f"cast(v_zero as bigint) as v_zero, {m} as m from hll_e"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency table for heavy-hitter queries
+# ---------------------------------------------------------------------------
+#
+# Cormode & Muthukrishnan 2005 (public). d independent hash rows x w
+# counters; a point query returns min over the d rows, which NEVER
+# underestimates the true count and overestimates by <= 2N/w with
+# probability 1 - (1/2)^d. At 10^12 tokens the exact token-frequency
+# table is a distinct-key shuffle of the whole vocabulary x shards; the
+# CMS is one groupBy over at most d*w integer cells per partition
+# (map-side combine), mergeable across shards/days/engines by summing
+# cell counts. Everything is integers + the md5-low-64 hash, so the
+# whole sketch replays bit-exactly in DuckDB.
+
+
+def _cms_check(d: int, w: int) -> None:
+    if not 1 <= d <= 8:
+        raise ValueError("d must be in [1, 8]")
+    if w < 2 or w & (w - 1):
+        # power of two so col = h & (w-1) is identical for the signed
+        # (Spark long) and unsigned (DuckDB UBIGINT) views of the hash
+        raise ValueError("w must be a power of two >= 2")
+
+
+def cms_cols(col: Column, d: int, w: int) -> list[Column]:
+    """The d counter columns for one value: row i uses the md5-low-64
+    hash of ``'cms{i}|' + value`` masked to ``w`` (power-of-two) cells.
+    Row-salting the INPUT (not the hash) keeps every row an independent
+    md5 draw while staying replayable as ``md5_number_lower('cms{i}|' ||
+    v)`` in SQL."""
+    _cms_check(d, w)
+    return [
+        md5_low64_expr(F.concat(F.lit(f"cms{i}|"), col.cast("string"))).bitwiseAND(
+            F.lit(w - 1)
+        )
+        for i in range(d)
+    ]
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min table ``(row, col, cnt)`` with one output row per
+    OCCUPIED cell (missing cells are zero). ``weight_col`` (default: 1
+    per value occurrence) supports weighted frequency, e.g. bytes per
+    token. One explode (d small structs per input row, map-local) and
+    ONE shuffle bounded at d*w rows per map partition. Merge sketches by
+    unioning tables and re-running ``groupBy(row, col).sum(cnt)``."""
+    weight = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    cols = cms_cols(F.col(value_col), d, w)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), c.cast("int").alias("col"))
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("_c"), weight.alias("_w"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_point_query(
+    table: DataFrame, probes: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Estimated count for every probe value: min over the d rows of the
+    probed cells — the classic CMS point query (est >= truth always).
+    The probe side is expected small (a candidate/watch list); the join
+    is a (row, col) equi-join against the <= d*w-row table, which Spark
+    broadcasts. Returns ``(value, est)``."""
+    _cms_check(d, w)
+    cols = cms_cols(F.col(value_col), d, w)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), c.cast("int").alias("col"))
+            for i, c in enumerate(cols)
+        ]
+    )
+    probed = probes.select(
+        F.col(value_col).alias("value"), F.explode(cells).alias("_c")
+    ).select("value", F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    joined = probed.join(F.broadcast(table), ["row", "col"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("value").agg(F.min("cnt").alias("est"))
+
+
+def cms_oracle_sql(
+    values_cte: str,
+    probes_cte: str | None = None,
+    d: int = 4,
+    w: int = 1024,
+    weight: str = "1",
+) -> str:
+    """DuckDB replica: identical row-salted md5 hash, identical
+    power-of-two mask, integer sums. ``values_cte`` yields column ``v``
+    (+ optional weight referenced by ``weight``); with ``probes_cte``
+    (yielding ``v``) the query returns the point estimates, else the
+    raw ``(row, col, cnt)`` table."""
+    _cms_check(d, w)
+    cell_rows = " union all ".join(
+        f"select cast(md5_number_lower('cms{i}|' || cast(v as varchar)) & {w - 1} "
+        f"as int) as col, {i} as row, cast({weight} as bigint) as wt from cms_v"
+        for i in range(d)
+    )
+    table = (
+        f"with cms_v as (select * from ({values_cte}) where v is not null), "
+        f"cms_cells as ({cell_rows}), "
+        "cms_t as (select row, col, sum(wt) as cnt from cms_cells group by row, col)"
+    )
+    if probes_cte is None:
+        return f"{table} select row, col, cast(cnt as bigint) as cnt from cms_t"
+    probe_rows = " union all ".join(
+        f"select v as value, {i} as row, "
+        f"cast(md5_number_lower('cms{i}|' || cast(v as varchar)) & {w - 1} as int) "
+        "as col from cms_p"
+        for i in range(d)
+    )
+    return (
+        f"{table}, cms_p as (select v from ({probes_cte}) where v is not null), "
+        f"cms_pc as ({probe_rows}) "
+        "select p.value, cast(min(coalesce(t.cnt, 0)) as bigint) as est "
+        "from cms_pc p left join cms_t t on p.row = t.row and p.col = t.col "
+        "group by p.value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: mergeable, deterministic, SQL-replayable
+# ---------------------------------------------------------------------------
+#
+# The curation rails need corpus-level percentile thresholds (doc length,
+# quality score) without a global sort. A fixed-bin histogram is the
+# simplest mergeable quantile sketch: ONE groupBy bounded at nbins rows
+# per partition, merge = sum of bin counts, and — unlike t-digest/KLL —
+# every step is integer-exact, so the result replays bit-identically in
+# any engine. Error is bounded by the bin width (caller picks [lo, hi)
+# and nbins for the column's known range); values outside the range
+# clamp into the edge bins, which keeps the sketch total-preserving.
+
+
+def hist_bins(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int = 256
+) -> DataFrame:
+    """Histogram ``(bin, cnt)`` over occupied bins: bin = clamp(floor(
+    (v - lo) / width), 0, nbins-1), width = (hi - lo) / nbins evaluated
+    ONCE driver-side and embedded as the same double literal in both
+    engines. Mergeable by ``groupBy(bin).sum(cnt)``."""
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if not 2 <= nbins <= 1 << 20:
+        raise ValueError("nbins must be in [2, 2^20]")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    bins: DataFrame, qs: list[float], lo: float, hi: float, nbins: int = 256
+) -> DataFrame:
+    """Quantile estimates from a histogram: for each q, the smallest bin
+    whose cumulative count reaches ``ceil(q * n)`` (the standard
+    lower-quantile definition on the binned distribution), reported as
+    ``(q, bin, value_est)`` with value_est = the bin's UPPER edge
+    ``lo + (bin + 1) * width`` — a one-sided bound: at least ceil(q*n)
+    values are <= value_est, off by at most one bin width.
+
+    The cumulative window runs over the <= nbins-row histogram — a
+    deliberate one-task stage on a frame whose size is a CONSTANT chosen
+    at sketch time, independent of input rows (same shape as the HLL
+    estimator's final fold)."""
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    width = (hi - lo) / nbins
+    win = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "cnt", F.sum("cnt").over(win).alias("cum"), F.sum("cnt").over(
+            Window.partitionBy()
+        ).alias("n")
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # target rank: ceil(q*n) as exact integer arithmetic on longs
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= target)
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.lit(lo) + (F.col("bin") + F.lit(1)).cast("double") * F.lit(width)
+    return hit.select("q", "bin", est.alias("value_est"))
+
+
+def hist_quantiles_oracle_sql(
+    values_cte: str, qs: list[float], lo: float, hi: float, nbins: int = 256
+) -> str:
+    """DuckDB replica of hist_bins + hist_quantiles over ``values_cte``
+    (one column ``v``): identical clamp/floor binning with the same
+    embedded width literal, integer cumulative ranks, same upper-edge
+    estimate expression."""
+    width = (hi - lo) / nbins
+    q_rows = " union all ".join(f"select cast({float(q)!r} as double) as q" for q in qs)
+    return (
+        f"with hq_v as (select cast(v as double) as v from ({values_cte}) "
+        "where v is not null), "
+        f"hq_b as (select cast(least(greatest(floor((v - {lo!r}) / {width!r}), 0), "
+        f"{nbins - 1}) as int) as bin from hq_v), "
+        "hq_h as (select bin, count(*) as cnt from hq_b group by bin), "
+        "hq_c as (select bin, cnt, sum(cnt) over (order by bin) as cum, "
+        "sum(cnt) over () as n from hq_h), "
+        f"hq_q as ({q_rows}) "
+        f"select q, min(bin) as bin, {lo!r} + cast(min(bin) + 1 as double) * {width!r} "
+        "as value_est from hq_c, hq_q where cum >= ceil(q * n) group by q"
     )

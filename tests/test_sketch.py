@@ -130,3 +130,169 @@ def test_small_p_estimate_bit_exact_vs_duckdb(spark):
         con.executemany("insert into vals values (?)", [(x,) for x in xs])
         got = con.execute(hll_oracle_sql("select v from vals", p=p)).fetchone()
         assert (est["est"], est["v_zero"], est["m"]) == got
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_table_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.sketch import cms_oracle_sql, cms_table
+
+    xs = [f"tok{i % 40}" for i in range(3000)]
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_table(_vals(spark, xs), "v", d=3, w=128).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table vals(v varchar)")
+    con.executemany("insert into vals values (?)", [(x,) for x in xs])
+    sql = cms_oracle_sql("select v from vals", d=3, w=128)
+    oracle = {(r, c): n for r, c, n in con.execute(sql).fetchall()}
+    assert got == oracle
+
+
+def test_cms_point_query_never_underestimates(spark):
+    from collections import Counter
+
+    from osmgraft.operators.sketch import cms_point_query, cms_table
+
+    # Zipf-ish: value j appears ~3000/(j+1) times
+    xs = [f"k{j}" for j in range(50) for _ in range(3000 // (j + 1))]
+    truth = Counter(xs)
+    table = cms_table(_vals(spark, xs), "v", d=4, w=256)
+    probes = _vals(spark, [f"k{j}" for j in range(50)] + ["absent"])
+    est = {r["value"]: r["est"] for r in cms_point_query(table, probes, "v", d=4, w=256).collect()}
+    n = len(xs)
+    for v, t in truth.items():
+        assert est[v] >= t  # CMS point query never underestimates
+        assert est[v] <= t + 2 * n / 256 * 4  # loose d-row union bound
+    assert est["absent"] >= 0
+
+
+def test_cms_point_query_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.sketch import cms_oracle_sql, cms_point_query, cms_table
+
+    xs = [f"w{i % 23}" for i in range(1000)]
+    probes = [f"w{j}" for j in range(25)]
+    table = cms_table(_vals(spark, xs), "v", d=4, w=64)
+    got = {
+        r["value"]: r["est"]
+        for r in cms_point_query(table, _vals(spark, probes), "v", d=4, w=64).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table vals(v varchar)")
+    con.executemany("insert into vals values (?)", [(x,) for x in xs])
+    con.execute("create table probes(v varchar)")
+    con.executemany("insert into probes values (?)", [(x,) for x in probes])
+    sql = cms_oracle_sql("select v from vals", "select v from probes", d=4, w=64)
+    oracle = dict(con.execute(sql).fetchall())
+    assert got == oracle
+
+
+def test_cms_merge_and_weighted(spark):
+    from osmgraft.operators.sketch import cms_point_query, cms_table
+    from pyspark.sql import functions as F2
+
+    xs = [f"m{i % 10}" for i in range(400)]
+    whole = cms_table(_vals(spark, xs), "v", d=3, w=64)
+    half1 = cms_table(_vals(spark, xs[:150]), "v", d=3, w=64)
+    half2 = cms_table(_vals(spark, xs[150:]), "v", d=3, w=64)
+    merged = (
+        half1.unionByName(half2).groupBy("row", "col").agg(F2.sum("cnt").alias("cnt"))
+    )
+    probes = _vals(spark, [f"m{j}" for j in range(10)])
+    a = {r["value"]: r["est"] for r in cms_point_query(whole, probes, "v", d=3, w=64).collect()}
+    b = {r["value"]: r["est"] for r in cms_point_query(merged, probes, "v", d=3, w=64).collect()}
+    assert a == b
+
+    # weighted: every occurrence carries weight 5 -> estimates scale by 5
+    wdf = spark.createDataFrame([(x, 5) for x in xs], "v string, wt int")
+    wtab = cms_table(wdf, "v", d=3, w=64, weight_col="wt")
+    c = {r["value"]: r["est"] for r in cms_point_query(wtab, probes, "v", d=3, w=64).collect()}
+    assert c == {k: 5 * v for k, v in a.items()}
+
+
+def test_cms_validation(spark):
+    from osmgraft.operators.sketch import cms_oracle_sql, cms_table
+
+    df = _vals(spark, ["a"])
+    with pytest.raises(ValueError):
+        cms_table(df, "v", d=0, w=64)
+    with pytest.raises(ValueError):
+        cms_table(df, "v", d=4, w=100)  # not a power of two
+    with pytest.raises(ValueError):
+        cms_oracle_sql("select 1 as v", d=9, w=64)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def _ints(spark, xs):
+    return spark.createDataFrame([(int(x),) for x in xs], "v long")
+
+
+def test_hist_quantiles_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.sketch import hist_bins, hist_quantiles, hist_quantiles_oracle_sql
+
+    xs = [(i * 37) % 1000 for i in range(5000)]
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    bins = hist_bins(_ints(spark, xs), "v", lo=0.0, hi=1000.0, nbins=64)
+    got = {
+        r["q"]: (r["bin"], r["value_est"])
+        for r in hist_quantiles(bins, qs, lo=0.0, hi=1000.0, nbins=64).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table vals(v bigint)")
+    con.executemany("insert into vals values (?)", [(x,) for x in xs])
+    sql = hist_quantiles_oracle_sql("select v from vals", qs, lo=0.0, hi=1000.0, nbins=64)
+    oracle = {q: (b, v) for q, b, v in con.execute(sql).fetchall()}
+    assert got == oracle
+
+
+def test_hist_quantile_rank_guarantee(spark):
+    """value_est is a one-sided bound: at least ceil(q*n) values <= est,
+    and the previous bin's upper edge covers fewer than ceil(q*n)."""
+    from osmgraft.operators.sketch import hist_bins, hist_quantiles
+
+    xs = sorted((i * i) % 997 for i in range(2000))
+    lo, hi, nbins = 0.0, 1000.0, 128
+    width = (hi - lo) / nbins
+    bins = hist_bins(_ints(spark, xs), "v", lo=lo, hi=hi, nbins=nbins)
+    out = hist_quantiles(bins, [0.25, 0.5, 0.75, 0.95], lo=lo, hi=hi, nbins=nbins).collect()
+    import math as m
+
+    n = len(xs)
+    for r in out:
+        target = m.ceil(r["q"] * n)
+        assert sum(1 for x in xs if x <= r["value_est"]) >= target
+        assert sum(1 for x in xs if x <= r["value_est"] - width) < target
+
+
+def test_hist_merge_and_clamping(spark):
+    from osmgraft.operators.sketch import hist_bins, hist_quantiles
+    from pyspark.sql import functions as F2
+
+    xs = list(range(-50, 1500))  # values outside [0, 1000) clamp to edge bins
+    bins = hist_bins(_ints(spark, xs), "v", lo=0.0, hi=1000.0, nbins=32)
+    rows = {r["bin"]: r["cnt"] for r in bins.collect()}
+    assert sum(rows.values()) == len(xs)  # total-preserving
+    assert rows[0] >= 50 and rows[31] >= 500  # clamped mass in edge bins
+
+    half1 = hist_bins(_ints(spark, xs[:700]), "v", lo=0.0, hi=1000.0, nbins=32)
+    half2 = hist_bins(_ints(spark, xs[700:]), "v", lo=0.0, hi=1000.0, nbins=32)
+    merged = half1.unionByName(half2).groupBy("bin").agg(F2.sum("cnt").alias("cnt"))
+    a = hist_quantiles(bins, [0.5], lo=0.0, hi=1000.0, nbins=32).collect()
+    b = hist_quantiles(merged, [0.5], lo=0.0, hi=1000.0, nbins=32).collect()
+    assert a == b
+
+    with pytest.raises(ValueError):
+        hist_bins(_ints(spark, xs), "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError):
+        hist_quantiles(bins, [0.0], lo=0.0, hi=1000.0)

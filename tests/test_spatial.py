@@ -774,3 +774,147 @@ def test_knn_probe_k_equivalence(spark):
     p1, p3 = pairs(1), pairs(3)
     assert p1 == p3
     assert len(p1) > 50
+
+
+def test_tile_pyramid_matches_direct_per_level(spark):
+    """The rollup identity: deriving level z-1 from level z's tile table
+    must equal aggregating the raw points directly at z-1 (exact because
+    floor(floor(t*2^z)/2) == floor(t*2^(z-1)) and clamps map edge->edge)."""
+    from osmgraft.operators.tiles import assign_tiles, tile_pyramid
+
+    rows = [
+        (i, ((i * 7919) % 17000) / 100.0 - 85.0, ((i * 104729) % 36000) / 100.0 - 180.0)
+        for i in range(800)
+    ]
+    # include the clamp edges explicitly
+    rows += [(9001, 90.0, 180.0), (9002, -90.0, -180.0), (9003, 85.06, 179.999)]
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    got = {
+        (r["tile_z"], r["tile_x"], r["tile_y"]): (r["n_labels"], r["best_rank"])
+        for r in tile_pyramid(df, z_max=7, z_min=4, rank_col="pid").collect()
+    }
+    import pyspark.sql.functions as F2
+
+    want = {}
+    for z in range(4, 8):
+        for r in (
+            assign_tiles(df, z)
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F2.count("*").alias("n"), F2.min("pid").alias("b"))
+            .collect()
+        ):
+            want[(r["tile_z"], r["tile_x"], r["tile_y"])] = (r["n"], r["b"])
+    assert got == want
+
+
+def test_tile_pyramid_single_scan_of_source(spark):
+    """The rollup's scale claim, measured: with single_scan=True every
+    source row is evaluated exactly ONCE (counted by an accumulator in a
+    mapInPandas wrapper around the source); without the per-level persist
+    the union recomputes the base per level — levels x n evaluations.
+    Catalyst does not fire ReusedExchange across these union branches, so
+    the persist is what makes 'input scanned once' true, not aspiration."""
+    from osmgraft.operators.tiles import tile_pyramid
+
+    base = spark.range(500).selectExpr(
+        "id as pid",
+        "cast((id * 37 % 170) - 85 as double) as lat",
+        "cast((id * 91 % 360) - 180 as double) as lon",
+    )
+
+    def run(single_scan):
+        acc = spark.sparkContext.accumulator(0)
+
+        def counted(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        src = base.mapInPandas(counted, base.schema)
+        tile_pyramid(src, z_max=6, z_min=3, single_scan=single_scan).count()
+        return acc.value
+
+    assert run(True) == 500
+    assert run(False) == 4 * 500  # one rescan per level without the persist
+
+
+def test_zorder_key_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.layout import zorder_key, zorder_oracle_sql
+
+    rows = [
+        (i, ((i * 7919) % 18000) / 100.0 - 90.0, ((i * 104729) % 36000) / 100.0 - 180.0)
+        for i in range(500)
+    ] + [(9001, 90.0, 180.0), (9002, -90.0, -180.0)]
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    got = dict(
+        (r["pid"], r["zkey"])
+        for r in df.select("pid", zorder_key(F.col("lat"), F.col("lon"), 16)).collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table pts(pid bigint, lat double, lon double)")
+    con.executemany("insert into pts values (?, ?, ?)", rows)
+    sql = zorder_oracle_sql("select pid, lat, lon from pts", bits=16)
+    assert got == dict(con.execute(sql).fetchall())
+
+
+def test_zrange_quad_containment():
+    """Every point inside a quadtree cell has its Morton key inside the
+    cell's contiguous range, and every point outside falls outside."""
+    from osmgraft.operators.layout import zrange_for_quad
+
+    bits = 8
+
+    def key(gx, gy):
+        k = 0
+        for i in range(bits):
+            k |= ((gx >> i) & 1) << (2 * i) | ((gy >> i) & 1) << (2 * i + 1)
+        return k
+
+    level = 3  # 8x8 quads of a 256x256 grid; each quad spans 32x32 cells
+    lo, hi = zrange_for_quad(2, 5, level, bits)
+    span = 1 << (bits - level)
+    inside = [(2 * span, 5 * span), (2 * span + span - 1, 5 * span + span - 1)]
+    outside = [(2 * span - 1, 5 * span), (3 * span, 5 * span), (2 * span, 6 * span)]
+    for gx, gy in inside:
+        assert lo <= key(gx, gy) <= hi
+    for gx, gy in outside:
+        assert not (lo <= key(gx, gy) <= hi)
+    with pytest.raises(ValueError):
+        zrange_for_quad(8, 0, level, bits)
+    with pytest.raises(ValueError):
+        zrange_for_quad(0, 0, 9, bits)
+
+
+def test_zorder_layout_prunes_files(spark, tmp_path):
+    """The point of the layout: after cluster_by_zorder, a quad-aligned
+    box query prunes most files by footer min/max alone; the same data in
+    ingest (hash) order prunes nothing."""
+    from osmgraft.operators.layout import (
+        cluster_by_zorder,
+        file_zkey_stats,
+        pruned_fraction,
+        zorder_key,
+        zrange_for_quad,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "id as pid",
+        "cast((id * 7919 % 18000) / 100.0 - 90.0 as double) as lat",
+        "cast((id * 104729 % 36000) / 100.0 - 180.0 as double) as lon",
+    )
+    zpath = str(tmp_path / "zsorted")
+    cluster_by_zorder(df, n_files=16).write.parquet(zpath)
+    rpath = str(tmp_path / "rand")
+    df.withColumn("zkey", zorder_key(F.col("lat"), F.col("lon"), 16)).repartition(
+        16
+    ).write.parquet(rpath)
+
+    lo, hi = zrange_for_quad(1, 2, 2, 16)  # one quarter-of-a-quarter of the globe
+    zstats = [tuple(r) for r in file_zkey_stats(spark, zpath).collect()]
+    rstats = [tuple(r) for r in file_zkey_stats(spark, rpath).collect()]
+    assert len(zstats) == 16
+    z_pruned = pruned_fraction(zstats, lo, hi)
+    r_pruned = pruned_fraction(rstats, lo, hi)
+    assert r_pruned == 0.0  # every ingest-order file spans the whole curve
+    assert z_pruned >= 0.75  # clustered layout skips >= 12/16 files
