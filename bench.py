@@ -380,6 +380,17 @@ def main() -> None:
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
         return dup_spans(d, n=5).count()
 
+    def q_tile_pyramid():
+        from osmgraft.operators.tiles import tile_pyramid
+
+        # z12 base + 6 rollup levels off the staged labels; the corpus is
+        # scanned once (per-level persist), so the timing is base-agg
+        # dominated. unpersist after so repeat rounds re-measure the work.
+        pyr = tile_pyramid(staged_labels, z_max=12, z_min=6, rank_col="rank")
+        n = pyr.count()
+        spark.catalog.clearCache()
+        return n
+
     # codec throughput rows: staged (untimed) >=10^4-payload tables; each
     # query decodes every payload byte-for-byte on executors and reduces
     # to one number so nothing short-circuits the kernel
@@ -420,6 +431,7 @@ def main() -> None:
         ("cc_chains", q_components),
         ("bm25_topk", q_bm25),
         ("dup_spans_5gram", q_dup_spans),
+        ("tile_pyramid_z12_6", q_tile_pyramid),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

@@ -468,6 +468,58 @@ def main() -> None:
         ("sessionization — one shuffle, window + in-partition rollup", p23, notes23)
     )
 
+    # 24. Count-Min table — one exchange whose input is bounded at d*w
+    # rows per map partition (partial_sum combine), pure Catalyst hashing
+    q24 = entry_mod.queries()["cms_heavy_hitters"](spark, SF)
+    p24 = plan_of(q24)
+    notes24 = [
+        f"pure Catalyst (no Python): {'Python' not in p24}",
+        f"map-side combine before the cell exchange (partial_sum): "
+        f"{'partial_sum' in p24}",
+        f"probe join broadcast (table <= d*w rows): {'BroadcastHashJoin' in p24}",
+        f"scan pruned to (doc_id, n_chars) — text never read: "
+        f"{'text' not in p24}",
+    ]
+    sections.append(
+        ("Count-Min sketch — bounded cell exchange, broadcast probe", p24, notes24)
+    )
+
+    # 25. Z-order key — a narrow pure-codegen projection: NO exchange, no
+    # Python, scan pruned to the three source columns
+    q25 = entry_mod.queries()["zorder_keys"](spark, SF)
+    p25 = plan_of(q25)
+    notes25 = [
+        f"no exchange (narrow projection): {'Exchange' not in p25}",
+        f"whole-stage codegen: {'codegen id' in p25}",
+        f"pure Catalyst (no Python): {'Python' not in p25}",
+        f"scan pruned — c_name/c_address never read: "
+        f"{'c_name' not in p25 and 'c_address' not in p25}",
+    ]
+    sections.append(
+        ("Z-order key — pure codegen bit interleave, zero shuffle", p25, notes25)
+    )
+
+    # 26. tile pyramid — the corpus is scanned ONCE (base level cached);
+    # every coarser level reads the previous level's InMemoryTableScan
+    q26 = entry_mod.queries()["tile_pyramid"](spark, SF)
+    p26 = plan_of(q26)
+    # nested InMemoryRelation prints repeat the cached base plan's TEXT; a
+    # distinct corpus scan would get its own node id, so count ids (the
+    # runtime proof is test_tile_pyramid_single_scan_of_source: 500 source
+    # rows evaluated once vs 4x500 with single_scan=False)
+    scan_ids = set(re.findall(r"\+- Scan parquet\s*\((\d+)\)", p26))
+    notes26 = [
+        f"exactly one corpus scan node (the z_max base agg): {len(scan_ids) == 1}",
+        f"coarser levels read cached tile tables (InMemoryTableScan): "
+        f"{'InMemoryTableScan' in p26}",
+        f"rollup aggs partial (map-side combine per level): "
+        f"{'partial_count' in p26 or 'partial_sum' in p26}",
+        f"pure Catalyst (no Python): {'Python' not in p26}",
+    ]
+    sections.append(
+        ("tile pyramid — single corpus scan, cached per-level rollup", p26, notes26)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
