@@ -1502,6 +1502,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return tile_pyramid(pts, z_max=8, z_min=5, rank_col="pid")
 
+    # --- temporal: as-of join of events to a sparse snapshot stream ----------------
+    def q_asof_join(spark, sf):
+        from osmgraft.operators.temporal import asof_join
+
+        ev = _read(spark, sf, "events")
+        left = ev.select("event_id", "user_id", "ts", "value")
+        # snapshot stream: every 7th event, aggregated to unique (user, ts)
+        # (the operator's documented precondition on the right side)
+        snap = (
+            ev.where(F.col("event_id") % 7 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("snap"))
+        )
+        return asof_join(left, snap, key="user_id")
+
+    # --- layout: Morton-range-accelerated exact box query --------------------------
+    def q_zorder_box(spark, sf):
+        from osmgraft.operators.layout import box_query
+
+        pts = _pts(spark, sf)
+        return box_query(pts, 10.0, 35.0, -20.0, 40.0)
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -1579,12 +1601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
+        "asof_join_events": q_asof_join,
+        "zorder_box_query": q_zorder_box,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
     from osmgraft.operators.layout import zorder_oracle_sql
+    from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
         cms_oracle_sql,
         hist_quantiles_oracle_sql,
@@ -2287,4 +2312,20 @@ def oracle_sql() -> dict[str, str]:
         # per-level DIRECT aggregation (no rollup) — equality with the
         # engine's cached single-scan rollup proves the parent identity
         "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),
+        # DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+        # same semantics, not a replica of the Spark plan
+        "asof_join_events": asof_oracle_sql(
+            "select event_id, user_id, ts, value from events",
+            "select user_id, ts, max(value) as snap from events "
+            "where event_id % 7 = 0 group by user_id, ts",
+            key="user_id",
+            left_cols=["event_id", "user_id", "ts", "value"],
+            right_payload=["ts", "snap"],
+        ),
+        # the Morton cover is pruning-only: conjoined with the exact box
+        # predicate the result equals the plain filter — which IS the oracle
+        "zorder_box_query": (
+            f"select * from ({_PTS_SQL}) p where lat >= 10.0 and lat <= 35.0 "
+            "and lon >= -20.0 and lon <= 40.0"
+        ),
     }

@@ -380,6 +380,11 @@ def main() -> None:
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
         return dup_spans(d, n=5).count()
 
+    def q_asof():
+        from __spark_entry__ import queries
+
+        return queries()["asof_join_events"](spark, SF_DIR).count()
+
     def q_tile_pyramid():
         from osmgraft.operators.tiles import tile_pyramid
 
@@ -432,6 +437,7 @@ def main() -> None:
         ("bm25_topk", q_bm25),
         ("dup_spans_5gram", q_dup_spans),
         ("tile_pyramid_z12_6", q_tile_pyramid),
+        ("asof_join_events", q_asof),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

@@ -106,6 +106,127 @@ def zrange_for_quad(qx: int, qy: int, level: int, bits: int = 16) -> tuple[int, 
     return prefix << shift, ((prefix + 1) << shift) - 1
 
 
+def zquads_for_box(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> tuple[int, list[int]]:
+    """Covering quads for a lat/lon box: ``(level, sorted key prefixes)``
+    at the COARSEST quadtree level whose intersecting-quad count fits in
+    ``max_ranges``. A quad's prefix is its Morton key shifted right by
+    ``2*(bits-level)`` — one integer per quad. Driver-side only: the box
+    is a query constant, so the work is O(max_ranges), never data-sized.
+
+    The cover is a superset of the box (quads overlap the box edges), so
+    any filter built from it is a PRUNING predicate: it must be conjoined
+    with the exact box predicate, never used alone."""
+    if not (lat_min <= lat_max and lon_min <= lon_max):
+        raise ValueError("box must have min <= max on both axes")
+
+    def quad_of(lat: float, lon: float, level: int) -> tuple[int, int]:
+        n = 1 << bits
+        gx = min(max(int((lon + 180.0) / 360.0 * n), 0), n - 1)
+        gy = min(max(int((lat + 90.0) / 180.0 * n), 0), n - 1)
+        return gx >> (bits - level), gy >> (bits - level)
+
+    level = bits
+    for lv in range(bits, -1, -1):
+        qx0, qy0 = quad_of(lat_min, lon_min, lv)
+        qx1, qy1 = quad_of(lat_max, lon_max, lv)
+        if (qx1 - qx0 + 1) * (qy1 - qy0 + 1) <= max_ranges:
+            level = lv
+            break
+    qx0, qy0 = quad_of(lat_min, lon_min, level)
+    qx1, qy1 = quad_of(lat_max, lon_max, level)
+    shift = 2 * (bits - level)
+    prefixes = sorted(
+        zrange_for_quad(qx, qy, level, bits)[0] >> shift
+        for qx in range(qx0, qx1 + 1)
+        for qy in range(qy0, qy1 + 1)
+    )
+    return level, prefixes
+
+
+def zranges_for_box(
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """The :func:`zquads_for_box` cover as contiguous ``[lo, hi]`` Morton
+    KEY intervals, coalesced where adjacent — the form a file-footer
+    min/max pruner consumes (see the same trade in Delta/Iceberg Z-order
+    readers)."""
+    level, prefixes = zquads_for_box(
+        lat_min, lat_max, lon_min, lon_max, bits, max_ranges
+    )
+    shift = 2 * (bits - level)
+    merged: list[tuple[int, int]] = []
+    for pre in prefixes:
+        lo, hi = pre << shift, ((pre + 1) << shift) - 1
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def box_query(
+    df: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Exact lat/lon box filter, accelerated by the Morton cover. The
+    exact box predicate keeps the result identical to a plain filter (and
+    pushes to the scan as PushedFilters); the cover predicate adds the
+    file-pruning handle.
+
+    Two shapes, chosen by whether the frame carries a real ``zkey``
+    column:
+
+    - stored key (a :func:`cluster_by_zorder` layout): OR-of-range
+      predicates directly on the column — simple comparisons on a stored
+      column are exactly what parquet footer min/max pruning consumes;
+    - computed key: ``shiftright(morton, 2*(bits-level)) IN (prefixes)``
+      — the Morton expression appears ONCE. (Spelling it as 2*max_ranges
+      range comparisons would inline the 5-step interleave into every
+      comparison; past ~16 ranges the generated filter method exceeds
+      the JIT limit and Spark silently drops to interpreted eval.)"""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    if "zkey" in df.columns:
+        zk = F.col("zkey")
+        ranges = zranges_for_box(lat_min, lat_max, lon_min, lon_max, bits, max_ranges)
+        cover = None
+        for lo, hi in ranges:
+            p = (zk >= F.lit(lo)) & (zk <= F.lit(hi))
+            cover = p if cover is None else (cover | p)
+    else:
+        level, prefixes = zquads_for_box(
+            lat_min, lat_max, lon_min, lon_max, bits, max_ranges
+        )
+        cover = F.shiftright(zorder_key(lat, lon, bits), 2 * (bits - level)).isin(
+            prefixes
+        )
+    exact = (
+        (lat >= F.lit(lat_min))
+        & (lat <= F.lit(lat_max))
+        & (lon >= F.lit(lon_min))
+        & (lon <= F.lit(lon_max))
+    )
+    return df.where(exact & cover)
+
+
 def cluster_by_zorder(
     df: DataFrame,
     n_files: int,

@@ -1,0 +1,166 @@
+"""As-of (point-in-time) join: each left row matched to the closest
+right row at-or-before (or at-or-after) its timestamp, per key.
+
+The reference engine has no temporal operator (it is a batch geodata
+importer), but a training-data pipeline over event streams needs this
+constantly — joining model events to the latest feature snapshot,
+labels to the nearest sensor reading, prices to trades. Spark has no
+built-in as-of join; the naive formulations are catastrophic at scale:
+
+- inequality theta-join (``l.ts >= r.ts``) -> BroadcastNestedLoopJoin /
+  cartesian per key;
+- per-key ``collect_list`` + Python bisect -> all rows of a key in one
+  task AND a Python hot path.
+
+The scale-correct shape (same trick Flink/kdb use, expressed in pure
+Catalyst) is the **union-tag carry-forward**: tag both inputs, union
+them into one frame, hash-shuffle ONCE on the key, sort each partition
+by (ts, side), and carry the most recent right payload forward with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+Every left row then holds exactly the latest right row at-or-before its
+timestamp. Cost: ONE shuffle of |L|+|R| rows, no join node at all,
+whole-stage codegen either side of the window sort. Skew: bounded by
+rows-per-key like any keyed window (salt upstream if one key dominates).
+
+Cross-engine parity: DuckDB ships a native ``ASOF JOIN``, so the oracle
+for the backward direction is the real thing, not a replica.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIONS = ("backward", "forward")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Per-``key`` as-of join of ``left`` against ``right``.
+
+    backward: match the latest right row with ``right_ts <= left_ts``;
+    forward: the earliest right row with ``right_ts >= left_ts`` (ties on
+    equal timestamps match in both directions, like pandas.merge_asof).
+    ``tolerance_s`` drops matches further than that many seconds away.
+    ``how='left'`` keeps unmatched left rows with null right columns;
+    ``'inner'`` drops them.
+
+    Output: all left columns, then each right payload column suffixed
+    ``_right`` (the right ts arrives as ``{right_ts}_right``). Right
+    columns are carried as ONE struct through the window, so the carry
+    is a single expression regardless of payload width.
+    """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    if key not in left.columns or key not in right.columns:
+        raise ValueError(f"key column {key!r} must exist on both sides")
+
+    payload_cols = [c for c in right.columns if c != key]
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None)
+        .cast(right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType)
+        .alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None)
+        .cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType)
+        .alias("_l"),
+        F.struct(*payload_cols).alias("_r"),
+    )
+    both = l_tag.unionByName(r_tag)
+
+    # backward: ascending ts; right rows (_is_left=0) sort BEFORE left rows
+    # at equal ts so ties match. forward: descending ts, same tie rule.
+    order = [F.col("_ts").asc(), F.col("_is_left").asc()]
+    if direction == "forward":
+        order = [F.col("_ts").desc(), F.col("_is_left").asc()]
+    w = Window.partitionBy("_k").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried = both.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).where(
+        F.col("_is_left") == 1
+    )
+
+    if tolerance_s is not None:
+        if tolerance_s < 0:
+            raise ValueError("tolerance_s must be >= 0")
+        gap = F.abs(
+            F.col("_ts").cast("double") - F.col(f"_m.{right_ts}").cast("double")
+        )
+        carried = carried.withColumn(
+            "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m"))
+        )
+    if how == "inner":
+        carried = carried.where(F.col("_m").isNotNull())
+
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(f"{c}_right") for c in payload_cols
+    ]
+    return carried.select(*out_cols)
+
+
+def asof_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    left_cols: list[str],
+    right_payload: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    how: str = "left",
+) -> str:
+    """DuckDB replica. backward/no-tolerance uses DuckDB's NATIVE
+    ``ASOF JOIN`` (independent implementation, not a transcription of the
+    Spark plan); forward and tolerance variants use an explicit
+    greatest-timestamp window replica."""
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}")
+    lcols = ", ".join(f"l.{c}" for c in left_cols)
+    rcols = ", ".join(f"r.{c} as {c}_right" for c in right_payload)
+    if direction == "backward" and tolerance_s is None:
+        jk = "join" if how == "inner" else "left join"
+        return (
+            f"with asof_l as ({left_sql}), asof_r as ({right_sql}) "
+            f"select {lcols}, {rcols} from asof_l l asof {jk} asof_r r "
+            f"on l.{key} = r.{key} and l.{left_ts} >= r.{right_ts}"
+        )
+    # window replica: rank right rows by closeness per left row via a
+    # lateral best-match subquery (oracle scale only)
+    cmp = ">=" if direction == "backward" else "<="
+    ord_ = "desc" if direction == "backward" else "asc"
+    tol = (
+        f" and abs(epoch(l.{left_ts}) - epoch(r.{right_ts})) <= {float(tolerance_s)!r}"
+        if tolerance_s is not None
+        else ""
+    )
+    sel_r = ", ".join(f"b.{c} as {c}_right" for c in right_payload)
+    base = (
+        f"with asof_l as ({left_sql}), asof_r as ({right_sql}) "
+        f"select {lcols}, {sel_r} from asof_l l left join lateral ("
+        f"select * from asof_r r where r.{key} = l.{key} "
+        f"and l.{left_ts} {cmp} r.{right_ts}{tol} "
+        f"order by r.{right_ts} {ord_}, 1 limit 1) b on true"
+    )
+    if how == "inner":
+        first_payload = right_payload[0]
+        return f"select * from ({base}) where {first_payload}_right is not null"
+    return base

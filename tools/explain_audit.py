@@ -520,6 +520,37 @@ def main() -> None:
         ("tile pyramid — single corpus scan, cached per-level rollup", p26, notes26)
     )
 
+    # 27. as-of join — union-tag carry-forward: ONE shuffle of |L|+|R|,
+    # NO join node (the naive inequality join would be a per-key BNLJ)
+    q27 = entry_mod.queries()["asof_join_events"](spark, SF)
+    p27 = plan_of(q27)
+    notes27 = [
+        f"no join node of any kind: "
+        f"{all(j not in p27 for j in ('SortMergeJoin', 'BroadcastHashJoin', 'BroadcastNestedLoopJoin', 'Cartesian', 'ShuffledHashJoin'))}",
+        f"exactly one data exchange on the key (the window): "
+        f"{len(re.findall(r'Arguments: hashpartitioning[(]_k', p27)) == 1}",
+        f"pure Catalyst (no Python): {'Python' not in p27}",
+        f"scan pruned — event_type/props never read: "
+        f"{'event_type' not in p27 and 'props' not in p27}",
+    ]
+    sections.append(
+        ("as-of join — one union-tag shuffle, zero join nodes", p27, notes27)
+    )
+
+    # 28. Morton box query — the exact box predicates reach the parquet
+    # scan as PushedFilters; no shuffle, no Python
+    q28 = entry_mod.queries()["zorder_box_query"](spark, SF)
+    p28 = plan_of(q28)
+    notes28 = [
+        f"box predicates pushed to the scan: {'PushedFilters: [IsNotNull' in p28}",
+        f"no exchange (narrow filter): {'Exchange' not in p28}",
+        f"pure Catalyst (no Python): {'Python' not in p28}",
+        f"whole-stage codegen: {'codegen id' in p28}",
+    ]
+    sections.append(
+        ("Morton box query — pushed filters, zero shuffle", p28, notes28)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
