@@ -1517,6 +1517,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return asof_join(left, snap, key="user_id")
 
+    # --- temporal: point-in-interval join (bucketized, long rail broadcast) --------
+    def q_interval_join(spark, sf):
+        from osmgraft.operators.temporal import interval_join
+
+        ev = _read(spark, sf, "events")
+        pts = ev.select("event_id", "user_id", "ts")
+        # interval stream: every 97th event opens a window of 0..98 hours,
+        # so both rails run — spans up to 16 buckets explode, longer ones
+        # take the broadcast theta rail
+        iv = ev.where(F.col("event_id") % 97 == 0).select(
+            F.col("event_id").alias("iv_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, cast((event_id % 50) * 2 as int), 0, 0)"
+            ).alias("end_ts"),
+        )
+        out = interval_join(pts, iv, key="user_id", bucket_s=600.0, max_span_buckets=16)
+        return out.select("event_id", "user_id", "ts", "iv_id_iv")
+
     # --- layout: Morton-range-accelerated exact box query --------------------------
     def q_zorder_box(spark, sf):
         from osmgraft.operators.layout import box_query
@@ -1602,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
         "asof_join_events": q_asof_join,
+        "interval_join_events": q_interval_join,
         "zorder_box_query": q_zorder_box,
     }
 
@@ -2321,6 +2342,16 @@ def oracle_sql() -> dict[str, str]:
             key="user_id",
             left_cols=["event_id", "user_id", "ts", "value"],
             right_payload=["ts", "snap"],
+        ),
+        # plain theta join IS the semantics; the engine's bucketized
+        # equi-join + broadcast long rail must reproduce it pair-for-pair
+        "interval_join_events": (
+            "with iv as (select event_id as iv_id, user_id, ts as start_ts, "
+            "ts + to_hours(cast((event_id % 50) * 2 as int)) as end_ts "
+            "from events where event_id % 97 = 0) "
+            "select p.event_id, p.user_id, p.ts, i.iv_id as iv_id_iv "
+            "from events p join iv i on p.user_id = i.user_id "
+            "and p.ts >= i.start_ts and p.ts <= i.end_ts"
         ),
         # the Morton cover is pruning-only: conjoined with the exact box
         # predicate the result equals the plain filter — which IS the oracle

@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 _DIRECTIONS = ("backward", "forward")
 
 
+def _seconds(df: DataFrame, colname: str):
+    """Epoch-seconds view of a numeric or timestamp column. TIMESTAMP_NTZ
+    cannot cast to double directly (Spark 4); route it through
+    timestamp_ltz — a constant session-tz shift, so bucket arithmetic and
+    gap differences stay consistent across columns of the same frame."""
+    dt = dict(df.dtypes)[colname]
+    c = F.col(colname)
+    if dt == "timestamp_ntz":
+        return c.cast("timestamp_ltz").cast("double")
+    return c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -101,9 +113,17 @@ def asof_join(
     if tolerance_s is not None:
         if tolerance_s < 0:
             raise ValueError("tolerance_s must be >= 0")
-        gap = F.abs(
-            F.col("_ts").cast("double") - F.col(f"_m.{right_ts}").cast("double")
-        )
+        ntz_l = dict(left.dtypes)[left_ts] == "timestamp_ntz"
+        ntz_r = dict(right.dtypes)[right_ts] == "timestamp_ntz"
+        l_sec = (
+            F.col("_ts").cast("timestamp_ltz") if ntz_l else F.col("_ts")
+        ).cast("double")
+        r_sec = (
+            F.col(f"_m.{right_ts}").cast("timestamp_ltz")
+            if ntz_r
+            else F.col(f"_m.{right_ts}")
+        ).cast("double")
+        gap = F.abs(l_sec - r_sec)
         carried = carried.withColumn(
             "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m"))
         )
@@ -114,6 +134,87 @@ def asof_join(
         F.col(f"_m.{c}").alias(f"{c}_right") for c in payload_cols
     ]
     return carried.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    key: str | None = None,
+    bucket_s: float = 3600.0,
+    max_span_buckets: int = 64,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= ts <= end`` (and equal ``key`` when given) — the 1-D
+    analogue of the PIP spatial join, with the same scale treatment.
+
+    A naive range theta-join degenerates to BroadcastNestedLoopJoin.
+    Instead each interval EXPLODES to the time buckets it covers
+    (``sequence(floor(start/b), floor(end/b))``), points compute their
+    single bucket, and the join is a plain equi-join on (key, bucket)
+    followed by the exact range filter. Each (point, interval) pair can
+    meet in exactly one bucket — the point's own — so no dedup pass is
+    needed. Cost: one co-partitioned shuffle; interval fan-out bounded
+    by its span in buckets.
+
+    Intervals longer than ``max_span_buckets`` buckets are routed down a
+    SEPARATE rail: they are assumed rare (a handful of epoch-length
+    intervals would otherwise explode), collected to a broadcast side and
+    theta-joined — a nested-loop whose build side is the small long-
+    interval set, which is the correct plan for that shape. The union of
+    both rails equals the plain theta join.
+
+    Output: all point columns plus each interval column suffixed
+    ``_iv``."""
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be > 0")
+    if max_span_buckets < 1:
+        raise ValueError("max_span_buckets must be >= 1")
+    if key is not None and (key not in points.columns or key not in intervals.columns):
+        raise ValueError(f"key column {key!r} must exist on both sides")
+
+    b = F.lit(float(bucket_s))
+    p_bucket = F.floor(_seconds(points, ts) / b)
+    i_lo = F.floor(_seconds(intervals, start) / b)
+    i_hi = F.floor(_seconds(intervals, end) / b)
+
+    iv_cols = [F.col(c).alias(f"{c}_iv") for c in intervals.columns]
+    iv = intervals.where(F.col(start) <= F.col(end)).select(
+        *iv_cols, i_lo.alias("_lo"), i_hi.alias("_hi")
+    )
+    short = iv.where(F.col("_hi") - F.col("_lo") < F.lit(max_span_buckets))
+    long_ = iv.where(F.col("_hi") - F.col("_lo") >= F.lit(max_span_buckets)).drop(
+        "_lo", "_hi"
+    )
+
+    pts = points.withColumn("_bucket", p_bucket)
+    exploded = short.select(
+        *[f"{c}_iv" for c in intervals.columns],
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_bucket"),
+    )
+    exact = (F.col(ts) >= F.col(f"{start}_iv")) & (F.col(ts) <= F.col(f"{end}_iv"))
+    if key is None:
+        short_join = pts.join(exploded, "_bucket").where(exact)
+        long_join = pts.join(
+            F.broadcast(long_),
+            (F.col(ts) >= F.col(f"{start}_iv")) & (F.col(ts) <= F.col(f"{end}_iv")),
+        )
+    else:
+        short_join = pts.join(
+            exploded,
+            (pts["_bucket"] == exploded["_bucket"])
+            & (pts[key] == exploded[f"{key}_iv"]),
+        ).where(exact)
+        long_join = pts.join(
+            F.broadcast(long_),
+            (pts[key] == long_[f"{key}_iv"])
+            & (F.col(ts) >= F.col(f"{start}_iv"))
+            & (F.col(ts) <= F.col(f"{end}_iv")),
+        )
+    out_cols = [*points.columns, *[f"{c}_iv" for c in intervals.columns]]
+    return short_join.select(*out_cols).unionByName(long_join.select(*out_cols))
 
 
 def asof_oracle_sql(

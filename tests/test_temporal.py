@@ -167,3 +167,92 @@ def test_asof_validation(spark):
         asof_join(left, right, key="k", tolerance_s=-1.0)
     with pytest.raises(ValueError):
         asof_join(left, right, key="k", how="outer")
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+
+def _iv_frames(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randint(0, 100_000)), i % 5) for i in range(800)]
+    ivs = []
+    for j in range(120):
+        s = float(rng.randint(0, 99_000))
+        ivs.append((j, s, s + rng.randint(0, 3000), j % 5))
+    # two LONG intervals (span >> max_span_buckets at bucket_s=600)
+    ivs.append((900, 1000.0, 95_000.0, 1))
+    ivs.append((901, 0.0, 100_000.0, 2))
+    p = spark.createDataFrame(pts, "pid long, ts double, k int")
+    iv = spark.createDataFrame(ivs, "iv_id long, start_ts double, end_ts double, k int")
+    return p, iv, pts, ivs
+
+
+def _brute_pairs(pts, ivs, keyed):
+    return {
+        (p[0], v[0])
+        for p in pts
+        for v in ivs
+        if v[1] <= p[1] <= v[2] and (not keyed or p[2] == v[3])
+    }
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from osmgraft.operators.temporal import interval_join
+
+    p, iv, pts, ivs = _iv_frames(spark)
+    got = [
+        (r["pid"], r["iv_id_iv"])
+        for r in interval_join(p, iv, bucket_s=600.0, max_span_buckets=8).collect()
+    ]
+    assert len(got) == len(set(got))  # no duplicate pairs from the explode
+    assert set(got) == _brute_pairs(pts, ivs, keyed=False)
+
+
+def test_interval_join_keyed(spark):
+    from osmgraft.operators.temporal import interval_join
+
+    p, iv, pts, ivs = _iv_frames(spark)
+    got = {
+        (r["pid"], r["iv_id_iv"])
+        for r in interval_join(
+            p, iv, key="k", bucket_s=600.0, max_span_buckets=8
+        ).collect()
+    }
+    assert got == _brute_pairs(pts, ivs, keyed=True)
+    assert got  # non-trivial
+
+
+def test_interval_join_long_rail_is_broadcast_only(spark):
+    """Short intervals must join via an equi-join on the bucket; the only
+    nested-loop allowed is the broadcast long-interval rail."""
+    import re
+
+    from osmgraft.operators.temporal import interval_join
+
+    p, iv, _, _ = _iv_frames(spark)
+    out = interval_join(p, iv, bucket_s=600.0, max_span_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_interval_join_validation_and_empty_edges(spark):
+    from osmgraft.operators.temporal import interval_join
+
+    p, iv, _, _ = _iv_frames(spark)
+    with pytest.raises(ValueError):
+        interval_join(p, iv, bucket_s=0.0)
+    with pytest.raises(ValueError):
+        interval_join(p, iv, max_span_buckets=0)
+    with pytest.raises(ValueError):
+        interval_join(p, iv, key="missing")
+    # inverted intervals are dropped, not matched
+    bad = spark.createDataFrame(
+        [(1, 50.0, 10.0, 0)], "iv_id long, start_ts double, end_ts double, k int"
+    )
+    assert interval_join(p, bad).count() == 0

@@ -551,6 +551,22 @@ def main() -> None:
         ("Morton box query — pushed filters, zero shuffle", p28, notes28)
     )
 
+    # 29. interval join — short intervals bucket-explode into an equi-join;
+    # the ONLY nested loop is the broadcast long-interval rail
+    q29 = entry_mod.queries()["interval_join_events"](spark, SF)
+    p29 = plan_of(q29)
+    notes29 = [
+        f"short rail is an equi-join: "
+        f"{bool(re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p29))}",
+        f"at most one BNLJ, and it is the broadcast long rail: "
+        f"{len(re.findall(r'BroadcastNestedLoopJoin', p29)) <= 1}",
+        f"no cartesian: {'CartesianProduct' not in p29}",
+        f"pure Catalyst (no Python): {'Python' not in p29}",
+    ]
+    sections.append(
+        ("interval join — bucketized equi-join + broadcast long rail", p29, notes29)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
