@@ -1467,6 +1467,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("kept").cast("int").alias("kept"),
         )
 
+    # --- sketch: grouped HLL (distinct tokens per source) --------------------------
+    def q_hll_by_source(spark, sf):
+        from osmgraft.operators.dedup import tokens_expr
+        from osmgraft.operators.sketch import hll_count_distinct_by
+
+        d = _read(spark, sf, "documents")
+        exp = d.select(
+            F.col("source").alias("g"),
+            (F.col("doc_id") % 1000).cast("string").alias("_b"),
+            F.explode(tokens_expr(F.col("text"))).alias("_t"),
+        )
+        vals = exp.select("g", F.concat_ws("-", "_t", "_b").alias("w"))
+        return hll_count_distinct_by(vals, ["g"], "w", p=9)
+
     # --- sketch: Count-Min weighted heavy-hitter point estimates -----------------
     def q_cms_topk(spark, sf):
         from osmgraft.operators.sketch import cms_point_query, cms_table
@@ -1617,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_estimate,
         "curation_pipeline": q_curation_pipeline,
         "domain_caps": q_domain_caps,
+        "hll_distinct_by_source": q_hll_by_source,
         "cms_heavy_hitters": q_cms_topk,
         "hist_quantiles": q_hist_quantiles,
         "zorder_keys": q_zorder_keys,
@@ -1634,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.sketch import (
         cms_oracle_sql,
         hist_quantiles_oracle_sql,
+        hll_by_oracle_sql,
         hll_oracle_sql,
     )
 
@@ -2239,6 +2255,12 @@ def oracle_sql() -> dict[str, str]:
             f"from (select doc_id, unnest({tok}) as w from documents)",
             p=10,
             registers_only=True,
+        ),
+        "hll_distinct_by_source": hll_by_oracle_sql(
+            f"select source as g, w || '-' || cast(doc_id % 1000 as varchar) as v "
+            f"from (select doc_id, source, unnest({tok}) as w from documents)",
+            ["g"],
+            p=9,
         ),
         "hll_distinct_tokens": hll_oracle_sql(
             f"select w || '-' || cast(doc_id % 1000 as varchar) as v "

@@ -145,6 +145,100 @@ def hll_count_distinct(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     return hll_estimate(hll_registers(df, value_col, p), p)
 
 
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group register tables: ``(*group_cols, bucket, rho)`` — the
+    grouped form of :func:`hll_registers`, which is what replaces
+    ``countDistinct`` per group at scale: exact per-group distinct is a
+    shuffle of every (group, value) pair, while the grouped sketch's
+    shuffle is bounded at ``|groups| * 2^p`` rows per map partition (pick
+    p so groups x 2^p fits: p=10 -> 1024 integers per group). Merge
+    shards by union + the same groupBy max."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Per-group estimates ``(*group_cols, est, v_zero, m)`` from a
+    grouped register table — the same order-free DECIMAL harmonic sum and
+    literal-for-literal estimator as :func:`hll_estimate`, one row per
+    group out of a single groupBy (map-side combinable)."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    sbits = 64 - p
+    scale = float(1 << (sbits + 1))
+    term = F.pow(F.lit(2.0), F.lit(sbits + 1) - F.col("rho")).cast("decimal(38,0)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_occ"), F.sum(term).alias("s_occ")
+    )
+    v_zero = F.lit(m) - F.col("n_occ")
+    s_total = (
+        F.coalesce(F.col("s_occ"), F.lit(0).cast("decimal(38,0)"))
+        + v_zero.cast("decimal(38,0)") * F.lit(1 << (sbits + 1)).cast("decimal(38,0)")
+    )
+    alpha = F.lit(_alpha_m(m))
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(scale) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, est.alias("est"), v_zero.cast("long").alias("v_zero"), F.lit(m).alias("m")
+    )
+
+
+def hll_count_distinct_by(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """Convenience: grouped registers + grouped estimate in one call."""
+    return hll_estimate_by(hll_registers_by(df, group_cols, value_col, p), group_cols, p)
+
+
+def hll_by_oracle_sql(values_cte: str, group_cols: list[str], p: int = 12) -> str:
+    """DuckDB replica of the grouped sketch over ``values_cte`` (yields
+    ``*group_cols, v``): same hash/registers/estimator as
+    :func:`hll_oracle_sql`, grouped."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    m = 1 << p
+    sbits = 64 - p
+    scale = float(1 << (sbits + 1))
+    mask = (1 << sbits) - 1
+    g = ", ".join(group_cols)
+    return (
+        f"with hllg_v as (select {g}, v from ({values_cte}) where v is not null), "
+        f"hllg_h as (select {g}, md5_number_lower(cast(v as varchar)) as h from hllg_v), "
+        f"hllg_br as (select {g}, cast(h >> {sbits} as bigint) as bucket, "
+        f"cast(case when (h & {mask}) = 0 then {sbits + 1} "
+        f"else {sbits + 1} - length(bin(h & {mask})) end as int) as rho from hllg_h), "
+        f"hllg_regs as (select {g}, bucket, max(rho) as rho from hllg_br group by {g}, bucket), "
+        f"hllg_a as (select {g}, count(*) as n_occ, sum(cast(pow(2.0, {sbits + 1} - rho) "
+        f"as decimal(38,0))) as s_occ from hllg_regs group by {g}), "
+        f"hllg_t as (select {g}, n_occ, cast({m} as bigint) - n_occ as v_zero, "
+        f"coalesce(s_occ, cast(0 as decimal(38,0))) + "
+        f"cast(cast({m} as bigint) - n_occ as decimal(38,0)) * "
+        f"cast({1 << (sbits + 1)} as decimal(38,0)) as s_total from hllg_a), "
+        f"hllg_e as (select {g}, v_zero, cast({_alpha_m(m)!r} as double) * {float(m)} * "
+        f"{float(m)} * {scale} / cast(s_total as double) as raw from hllg_t) "
+        f"select {g}, case when raw <= {2.5 * m} and v_zero > 0 "
+        f"then {float(m)} * ln({float(m)} / cast(v_zero as double)) else raw end as est, "
+        f"cast(v_zero as bigint) as v_zero, {m} as m from hllg_e"
+    )
+
+
 def hll_oracle_sql(values_cte: str, p: int = 12, registers_only: bool = False) -> str:
     """DuckDB replica of the full sketch over ``values_cte`` (a SQL
     fragment yielding one column ``v``): identical hash

@@ -296,3 +296,71 @@ def test_hist_merge_and_clamping(spark):
         hist_bins(_ints(spark, xs), "v", lo=5.0, hi=5.0)
     with pytest.raises(ValueError):
         hist_quantiles(bins, [0.0], lo=0.0, hi=1000.0)
+
+
+# ---------------------------------------------------------------------------
+# grouped HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_grouped_equals_per_group_global(spark):
+    """Slicing the input by group and running the GLOBAL sketch per slice
+    must equal the grouped sketch's row for that group — same registers,
+    same estimate."""
+    from osmgraft.operators.sketch import hll_count_distinct, hll_count_distinct_by
+
+    rows = [(f"g{i % 3}", f"val{i % 500}-{i % 7}") for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    grouped = {
+        r["g"]: (r["est"], r["v_zero"], r["m"])
+        for r in hll_count_distinct_by(df, ["g"], "v", p=10).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        row = hll_count_distinct(df.where(F.col("g") == g), "v", p=10).collect()[0]
+        assert grouped[g] == (row["est"], row["v_zero"], row["m"])
+
+
+def test_hll_grouped_bit_exact_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.sketch import hll_by_oracle_sql, hll_count_distinct_by
+
+    rows = [(f"d{i % 4}", f"tok{(i * 13) % 900}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: (f'{r["est"]:.9g}', r["v_zero"], r["m"])
+        for r in hll_count_distinct_by(df, ["g"], "v", p=9).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table vals(g varchar, v varchar)")
+    con.executemany("insert into vals values (?, ?)", rows)
+    sql = hll_by_oracle_sql("select g, v from vals", ["g"], p=9)
+    oracle = {g: (f"{est:.9g}", vz, m) for g, est, vz, m in con.execute(sql).fetchall()}
+    assert got == oracle
+
+
+def test_hll_grouped_merge_and_validation(spark):
+    from osmgraft.operators.sketch import (
+        hll_by_oracle_sql,
+        hll_estimate_by,
+        hll_registers_by,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = [(f"s{i % 2}", f"m{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = hll_registers_by(df, ["g"], "v", p=9)
+    half1 = hll_registers_by(df.limit(2000), ["g"], "v", p=9)
+    half2 = hll_registers_by(df.subtract(df.limit(1000)), ["g"], "v", p=9)
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("g", "bucket")
+        .agg(F2.max("rho").alias("rho"))
+    )
+    a = sorted(map(tuple, hll_estimate_by(whole, ["g"], p=9).collect()))
+    b = sorted(map(tuple, hll_estimate_by(merged, ["g"], p=9).collect()))
+    assert a == b
+
+    with pytest.raises(ValueError):
+        hll_registers_by(df, [], "v")
+    with pytest.raises(ValueError):
+        hll_by_oracle_sql("select 1 as g, 1 as v", [], p=9)
