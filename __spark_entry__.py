@@ -1516,6 +1516,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return tile_pyramid(pts, z_max=8, z_min=5, rank_col="pid")
 
+    # --- geospatial: zonal statistics over the PIP rectangles ----------------------
+    def q_zonal_stats(spark, sf):
+        from osmgraft.operators.zonal import zonal_stats
+
+        pts = _pts(spark, sf).select(
+            "pid", "lat", "lon", F.col("grp").cast("double").alias("val")
+        )
+        n = _read(spark, sf, "nation")
+        boxes = n.select(
+            F.col("n_nationkey").cast("long").alias("poly_id"),
+            F.col("n_name").alias("name"),
+            ((F.col("n_nationkey") % 9).cast("double") * 9.0 - 40.5678).alias("_la"),
+            ((F.col("n_nationkey") * 29 % 300).cast("double") - 150.5678).alias("_lo"),
+        )
+        polys = boxes.select(
+            "poly_id",
+            "name",
+            F.array(
+                F.col("_la"), F.col("_la"), F.col("_la") + 8.1234, F.col("_la") + 8.1234
+            ).alias("ring_lats"),
+            F.array(
+                F.col("_lo"), F.col("_lo") + 12.1234, F.col("_lo") + 12.1234, F.col("_lo")
+            ).alias("ring_lons"),
+        )
+        return zonal_stats(pts, polys, "val", strategy="broadcast")
+
     # --- temporal: as-of join of events to a sparse snapshot stream ----------------
     def q_asof_join(spark, sf):
         from osmgraft.operators.temporal import asof_join
@@ -1636,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
+        "zonal_stats_boxes": q_zonal_stats,
         "asof_join_events": q_asof_join,
         "interval_join_events": q_interval_join,
         "zorder_box_query": q_zorder_box,
@@ -2355,6 +2382,21 @@ def oracle_sql() -> dict[str, str]:
         # per-level DIRECT aggregation (no rollup) — equality with the
         # engine's cached single-scan rollup proves the parent identity
         "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),
+        # the PIP rectangle join + one algebraic rollup; avg replays as
+        # sum/count of exact doubles
+        "zonal_stats_boxes": (
+            "with boxes as (select cast(n_nationkey as bigint) as poly_id, "
+            "n_name as poly_name, "
+            "(n_nationkey % 9) * 9.0 - 40.5678 as la, "
+            "(n_nationkey * 29 % 300) - 150.5678 as lo from nation), "
+            f"pz as (select p.pid, cast(p.grp as double) as val, b.poly_id, b.poly_name "
+            f"from ({_PTS_SQL}) p, boxes b "
+            "where p.lat > la and p.lat < la + 8.1234 "
+            "and p.lon > lo and p.lon < lo + 12.1234) "
+            "select poly_id, poly_name, count(val) as count_val, "
+            "sum(val) as sum_val, avg(val) as mean_val "
+            "from pz group by poly_id, poly_name"
+        ),
         # DuckDB's NATIVE ASOF JOIN — an independent implementation of the
         # same semantics, not a replica of the Spark plan
         "asof_join_events": asof_oracle_sql(

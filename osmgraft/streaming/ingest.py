@@ -322,3 +322,129 @@ def stream_distinct_sketch(stream: DataFrame, value_col: str, p: int = 12) -> Da
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    idle_flush: str | None = "2 hours",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    gap-based sessionization over an unbounded event stream — the
+    streaming form of :func:`osmgraft.operators.sessions.sessionize`.
+
+    State per user is ONE open session: ``(session_seq, start_s, last_s,
+    n_events)`` — constant bytes per user regardless of history length,
+    which is what makes this run forever at 10^12 events (the batch
+    window form needs the user's full ordered history in one task; the
+    streaming form never holds more than the open session). A micro-batch
+    for a user is sorted by (ts, order), folded into the open session,
+    and every session CLOSED by a gap is emitted append-only:
+    ``(user, session_seq, start_s, end_s, n_events)`` with the same
+    second-truncated epoch arithmetic as the batch operator (bit-equal
+    session boundaries). The still-open session stays in state and is
+    flushed by the ``idle_flush`` processing-time timeout (a user quiet
+    that long has, by gap >= definition, ended their session).
+
+    Ordering contract: events may arrive out of order WITHIN a micro-batch
+    (sorted before folding); an event arriving in a LATER batch than a
+    session that already closed extends the CURRENT session instead (the
+    standard no-watermark best-effort; exact replay is the batch
+    operator's job).
+
+    Scale shape: one hash exchange on the user key per micro-batch —
+    identical to the batch operator's single shuffle — plus an
+    Arrow-batched state fold. Skewed users cost a longer in-task fold,
+    never a join fan-out."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    user_type = events.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField(user_col, user_type),
+            StructField("session_seq", IntegerType()),
+            StructField("start_s", LongType()),
+            StructField("end_s", LongType()),
+            StructField("n_events", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_seq", IntegerType()),
+            StructField("start_s", LongType()),
+            StructField("last_s", LongType()),
+            StructField("n_events", IntegerType()),
+        ]
+    )
+    ttl_ms = None
+    if idle_flush is not None:
+        qty, _, unit = idle_flush.partition(" ")
+        mult = {
+            "": 1, "ms": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.strip().lower()]
+        ttl_ms = int(float(qty) * mult)
+
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    base = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    epoch_s = F.timestamp_diff("SECOND", base, F.date_trunc("second", F.col(ts_col)))
+    slim = events.select(
+        F.col(user_col), epoch_s.alias("_s"), F.col(ts_col).alias("_o")
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            seq, start_s, last_s, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], seq, start_s, last_s, n]],
+                columns=[user_col, "session_seq", "start_s", "end_s", "n_events"],
+            )
+            return
+        seq, start_s, last_s, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        closed = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for s in pdf.sort_values(["_s", "_o"], kind="stable")["_s"]:
+                s = int(s)
+                if start_s is None:
+                    seq, start_s, last_s, n = seq + 1, s, s, 1
+                elif s - last_s > gap_seconds:
+                    closed.append([key[0], seq, start_s, last_s, n])
+                    seq, start_s, last_s, n = seq + 1, s, s, 1
+                else:
+                    last_s = max(last_s, s)
+                    n += 1
+        state.update((seq, start_s, last_s, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[user_col, "session_seq", "start_s", "end_s", "n_events"],
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return slim.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

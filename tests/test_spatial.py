@@ -993,3 +993,55 @@ def test_box_query_prunes_clustered_files(spark, tmp_path):
     # and the hit files do contain every box row (sanity via pruned_fraction
     # of the single widest range; box rows come from the exact filter anyway)
     assert pruned_fraction(stats, ranges[0][0], ranges[-1][1]) < 1.0
+
+
+def test_zonal_stats_matches_bruteforce(spark, pip_data):
+    from osmgraft.operators.zonal import zonal_stats
+
+    points, polys = pip_data
+    pts_df = spark.createDataFrame(points, "pid long, lat double, lon double").withColumn(
+        "val", (F.col("pid") % 13).cast("double")
+    )
+    polys_df = spark.createDataFrame(
+        polys, "poly_id long, ring_lats array<double>, ring_lons array<double>"
+    ).withColumn("name", F.concat(F.lit("Z"), F.col("poly_id")))
+    got = {
+        r["poly_id"]: (r["count_val"], r["sum_val"], r["mean_val"])
+        for r in zonal_stats(
+            pts_df, polys_df, "val", strategy="broadcast"
+        ).collect()
+    }
+    pairs = _brute_pip(points, polys)
+    want = {}
+    for pid, q in pairs:
+        want.setdefault(q, []).append(float(pid % 13))
+    for q, vals in want.items():
+        c, s, m = got[q]
+        assert c == len(vals)
+        assert abs(s - sum(vals)) < 1e-9
+        assert abs(m - sum(vals) / len(vals)) < 1e-9
+    assert set(got) == set(want)  # zones with no points absent by default
+
+
+def test_zonal_stats_empty_zones_and_validation(spark, pip_data):
+    from osmgraft.operators.zonal import zonal_stats
+
+    points, polys = pip_data
+    pts_df = spark.createDataFrame(points, "pid long, lat double, lon double").withColumn(
+        "val", F.lit(1.0)
+    )
+    # one guaranteed-empty zone far from every point
+    polys_df = spark.createDataFrame(
+        polys + [(999, [88.0, 89.0, 89.0], [170.0, 170.0, 175.0])],
+        "poly_id long, ring_lats array<double>, ring_lons array<double>",
+    ).withColumn("name", F.concat(F.lit("Z"), F.col("poly_id")))
+    out = {
+        r["poly_id"]: r["count_val"]
+        for r in zonal_stats(
+            pts_df, polys_df, "val", include_empty_zones=True, strategy="broadcast"
+        ).collect()
+    }
+    assert out[999] == 0
+    assert len(out) == len(polys) + 1  # every zone present
+    with pytest.raises(ValueError):
+        zonal_stats(pts_df, polys_df, "val", stats=("median",))

@@ -258,3 +258,79 @@ def test_stream_distinct_sketch_matches_batch(spark, staged, tmp_path):
     ).collect()[0]
     est_batch = hll_estimate(hll_registers(bvals, "w", p=8), p=8).collect()[0]
     assert est_stream == est_batch
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """Two-batch file stream: batch 2's events are > gap after batch 1's,
+    so every batch-1 session CLOSES and is emitted in batch 2. The emitted
+    closed sessions must equal the batch operator's sessions over the full
+    data, minus each user's final (still-open) session."""
+    from datetime import datetime, timedelta
+
+    from osmgraft.streaming.ingest import stream_sessionize
+
+    t0 = datetime(2024, 3, 1)
+    rows1, rows2 = [], []
+    eid = 0
+    # per user: two sessions in file 1 (split by a 40-min gap), then
+    # file 2 opens a third > gap after everything in file 1
+    for u in (1, 2, 3):
+        for s in (0, 60, 120):  # session A: 3 events, 1 min apart
+            rows1.append((eid, u, t0 + timedelta(seconds=u * 7 + s))); eid += 1
+        for s in (4000, 4030):  # session B after a 40-min gap (gap=1800)
+            rows1.append((eid, u, t0 + timedelta(seconds=u * 7 + s))); eid += 1
+        rows2.append((eid, u, t0 + timedelta(seconds=u * 7 + 9000))); eid += 1
+
+    src = str(tmp_path / "ev_src")
+    schema = "event_id long, user_id long, ts timestamp"
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_sessionize(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_seq"]): (r["start_s"], r["end_s"], r["n_events"])
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+
+    # batch reference over the full data, drop each user's LAST session
+    # (still open in the stream, awaiting the idle flush)
+    from osmgraft.operators.sessions import _epoch_seconds, sessionize
+
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    batch = sessionize(full, user_col="user_id", ts_col="ts", gap_seconds=1800)
+    batch = batch.withColumn("_s", _epoch_seconds(batch, "ts"))
+    rows = (
+        batch.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("_s").alias("start_s"),
+            F.max("_s").alias("end_s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    last_seq = {}
+    for r in rows:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+    want = {
+        (r["user_id"], r["session_seq"]): (r["start_s"], r["end_s"], r["n"])
+        for r in rows
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert got == want
+    assert len(got) == 6  # 3 users x 2 closed sessions
