@@ -567,6 +567,27 @@ def main() -> None:
         ("interval join — bucketized equi-join + broadcast long rail", p29, notes29)
     )
 
+    # 30. zonal stats — broadcast-strategy PIP join (bbox range condition
+    # is non-equi, so the correct node for a TINY polygon side is a
+    # nested loop whose BUILD side is the broadcast polygon table; the
+    # partitioned cell-equi-join scale path is audited in §"partitioned
+    # PIP") + ONE algebraic rollup with map-side partial aggregation
+    q30 = entry_mod.queries()["zonal_stats_boxes"](spark, SF)
+    p30 = plan_of(q30)
+    notes30 = [
+        f"the nested loop's build side is the broadcast polygon table: "
+        f"{'BroadcastNestedLoopJoin Inner BuildRight' in p30 and 'BroadcastExchange' in p30}",
+        f"no cartesian: {'Cartesian' not in p30}",
+        f"rollup partially aggregated map-side: {'partial_count' in p30 or 'partial_sum' in p30}",
+        f"exactly one wide exchange (the zone rollup): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p30)) == 1}",
+        f"exact-containment kernel is ONE Arrow pass (not per-polygon): "
+        f"{len(re.findall(_ARROW_OP_RE, p30, re.M)) == 1}",
+    ]
+    sections.append(
+        ("zonal stats — broadcast PIP join + single algebraic rollup", p30, notes30)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
