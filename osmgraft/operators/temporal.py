@@ -69,6 +69,11 @@ def asof_join(
     ``_right`` (the right ts arrives as ``{right_ts}_right``). Right
     columns are carried as ONE struct through the window, so the carry
     is a single expression regardless of payload width.
+
+    Determinism precondition: the right side should be unique on
+    ``(key, right_ts)`` (aggregate it first, as the registry query does)
+    — with duplicate right timestamps the carried row among the equals is
+    unspecified, same as pandas.merge_asof's input-order dependence.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(f"direction must be one of {_DIRECTIONS}")
