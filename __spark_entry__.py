@@ -1516,6 +1516,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return tile_pyramid(pts, z_max=8, z_min=5, rank_col="pid")
 
+    # --- geospatial: geodesic polyline length over derived ways --------------------
+    def q_way_lengths(spark, sf):
+        from osmgraft.operators.geom import polyline_length_m
+
+        pts = _pts(spark, sf).where(F.col("pid") < 2000)
+        w = pts.groupBy(F.col("grp").alias("way_id")).agg(
+            F.sort_array(F.collect_list(F.struct("pid", "lat", "lon"))).alias("_s")
+        )
+        w = w.select(
+            "way_id",
+            F.expr("transform(_s, x -> x.lat)").alias("lats"),
+            F.expr("transform(_s, x -> x.lon)").alias("lons"),
+        )
+        return w.select(
+            "way_id",
+            F.round(
+                polyline_length_m(F.col("lats"), F.col("lons")) / 1000.0, 3
+            ).alias("length_km"),
+        )
+
     # --- geospatial: zonal statistics over the PIP rectangles ----------------------
     def q_zonal_stats(spark, sf):
         from osmgraft.operators.zonal import zonal_stats
@@ -1662,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
+        "way_lengths": q_way_lengths,
         "zonal_stats_boxes": q_zonal_stats,
         "asof_join_events": q_asof_join,
         "interval_join_events": q_interval_join,
@@ -1671,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
+    from osmgraft.operators.geom import polyline_length_oracle_sql
     from osmgraft.operators.layout import zorder_oracle_sql
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
@@ -2382,6 +2404,18 @@ def oracle_sql() -> dict[str, str]:
         # per-level DIRECT aggregation (no rollup) — equality with the
         # engine's cached single-scan rollup proves the parent identity
         "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),
+        # per-segment haversine (identical formula), summed in pid order;
+        # rounded to 3 decimals of km so float-order noise (~1e-15 rel)
+        # stays far below the comparator's resolution
+        "way_lengths": (
+            "select way_id, round(length_m / 1000.0, 3) as length_km from ("
+            + polyline_length_oracle_sql(
+                "select grp as way_id, list(lat order by pid) as lats, "
+                f"list(lon order by pid) as lons from ({_PTS_SQL}) p "
+                "where pid < 2000 group by grp"
+            )
+            + ")"
+        ),
         # the PIP rectangle join + one algebraic rollup; avg replays as
         # sum/count of exact doubles
         "zonal_stats_boxes": (

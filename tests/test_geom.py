@@ -1,0 +1,145 @@
+"""Geodesic polyline length + Douglas-Peucker simplification."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ways(spark, rows):
+    return spark.createDataFrame(
+        rows, "way_id long, lats array<double>, lons array<double>"
+    )
+
+
+def _hav(la1, lo1, la2, lo2):
+    p1, p2 = math.radians(la1), math.radians(la2)
+    a = (
+        math.sin(math.radians(la2 - la1) / 2) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+    )
+    return 2 * 6371008.8 * math.asin(math.sqrt(a))
+
+
+def test_polyline_length_matches_python_reference(spark):
+    from osmgraft.operators.geom import polyline_length_m
+
+    rows = [
+        (1, [0.0, 0.0], [0.0, 1.0]),  # 1 deg of longitude at the equator
+        (2, [10.0, 11.0, 12.0], [20.0, 20.5, 21.5]),
+        (3, [5.0], [5.0]),  # single point -> 0
+        (4, [], []),  # empty -> 0
+    ]
+    got = {
+        r["way_id"]: r["length_m"]
+        for r in _ways(spark, rows)
+        .select("way_id", polyline_length_m(F.col("lats"), F.col("lons")).alias("length_m"))
+        .collect()
+    }
+    for wid, las, los in rows:
+        want = sum(
+            _hav(las[i], los[i], las[i + 1], los[i + 1]) for i in range(len(las) - 1)
+        )
+        assert got[wid] == pytest.approx(want, rel=1e-12)
+    # 1 degree of equatorial longitude ~ 111.2 km
+    assert got[1] == pytest.approx(111194.9, abs=20.0)
+
+
+def test_polyline_length_bit_parity_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.geom import polyline_length_m, polyline_length_oracle_sql
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (
+            i,
+            rng.uniform(-80, 80, rng.integers(2, 12)).tolist(),
+            rng.uniform(-179, 179, rng.integers(2, 12)).tolist(),
+        )
+        for i in range(50)
+    ]
+    # equalize array lengths per row (parallel arrays)
+    rows = [(i, la[: min(len(la), len(lo))], lo[: min(len(la), len(lo))]) for i, la, lo in rows]
+    rows.append((900, [1.0], [1.0]))
+    got = {
+        r["way_id"]: r["length_m"]
+        for r in _ways(spark, rows)
+        .select("way_id", polyline_length_m(F.col("lats"), F.col("lons")).alias("length_m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table ways(way_id bigint, lats double[], lons double[])")
+    con.executemany("insert into ways values (?, ?, ?)", rows)
+    sql = polyline_length_oracle_sql("select way_id, lats, lons from ways")
+    for wid, length in con.execute(sql).fetchall():
+        assert got[wid] == pytest.approx(length, rel=1e-9)
+
+
+def test_simplify_straight_line_collapses_to_endpoints(spark):
+    from osmgraft.operators.geom import simplify_polyline
+
+    lats = [float(i) * 0.01 for i in range(100)]
+    lons = [float(i) * 0.02 for i in range(100)]
+    out = simplify_polyline(_ways(spark, [(1, lats, lons)]), 1e-9).collect()[0]
+    assert out["n_points_in"] == 100
+    assert out["n_points_out"] == 2
+    assert out["lats"] == [lats[0], lats[-1]]
+    assert out["lons"] == [lons[0], lons[-1]]
+
+
+def test_simplify_preserves_significant_vertices(spark):
+    from osmgraft.operators.geom import simplify_polyline
+
+    # square-wave: every corner deviates ~0.5 deg from the chord
+    lats, lons = [], []
+    for i in range(20):
+        lats.append(0.5 if i % 2 else 0.0)
+        lons.append(float(i))
+    out = simplify_polyline(_ways(spark, [(1, lats, lons)]), 0.05).collect()[0]
+    assert out["n_points_out"] == 20  # every corner survives a tight tolerance
+    loose = simplify_polyline(_ways(spark, [(1, lats, lons)]), 5.0).collect()[0]
+    assert loose["n_points_out"] == 2  # everything within a loose tolerance
+
+
+def test_simplify_error_bound_and_length_sanity(spark):
+    """Every dropped vertex lies within tolerance of the simplified chain's
+    corresponding chord (the DP guarantee), and simplified length <= input
+    length (chords are never longer than the path)."""
+    from osmgraft.operators.geom import polyline_length_m, simplify_polyline
+
+    rng = np.random.default_rng(3)
+    lats = np.cumsum(rng.normal(0, 0.05, 200)) + 40.0
+    lons = np.cumsum(rng.normal(0.02, 0.02, 200)) + 7.0
+    tol = 0.03
+    df = _ways(spark, [(1, lats.tolist(), lons.tolist())])
+    out = simplify_polyline(df, tol).collect()[0]
+    kept = list(zip(out["lats"], out["lons"]))
+    assert 2 <= len(kept) < 200
+
+    # error bound: distance from every original vertex to its enclosing chord
+    kept_idx = []
+    j = 0
+    for i, (la, lo) in enumerate(zip(lats, lons)):
+        if j < len(kept) and abs(kept[j][0] - la) < 1e-12 and abs(kept[j][1] - lo) < 1e-12:
+            kept_idx.append(i)
+            j += 1
+    assert len(kept_idx) == len(kept)
+    for a, b in zip(kept_idx, kept_idx[1:]):
+        ax, ay = lons[a], lats[a]
+        dx, dy = lons[b] - ax, lats[b] - ay
+        for i in range(a + 1, b):
+            px, py = lons[i] - ax, lats[i] - ay
+            n2 = dx * dx + dy * dy
+            d = abs(px * dy - py * dx) / math.sqrt(n2) if n2 else math.hypot(px, py)
+            assert d <= tol + 1e-12
+
+    li = df.select(polyline_length_m(F.col("lats"), F.col("lons")).alias("m")).collect()[0]["m"]
+    simp = _ways(spark, [(1, out["lats"], out["lons"])])
+    lo_ = simp.select(polyline_length_m(F.col("lats"), F.col("lons")).alias("m")).collect()[0]["m"]
+    assert lo_ <= li
+
+    with pytest.raises(ValueError):
+        simplify_polyline(df, -0.1)
