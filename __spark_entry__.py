@@ -1536,6 +1536,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("length_km"),
         )
 
+    # --- geospatial: spherical ring areas over the PIP rectangles ------------------
+    def q_ring_areas(spark, sf):
+        from osmgraft.operators.geom import ring_area_m2
+
+        n = _read(spark, sf, "nation")
+        rings = n.select(
+            F.col("n_nationkey").cast("long").alias("ring_id"),
+            ((F.col("n_nationkey") % 9).cast("double") * 9.0 - 40.5678).alias("_la"),
+            ((F.col("n_nationkey") * 29 % 300).cast("double") - 150.5678).alias("_lo"),
+        ).select(
+            "ring_id",
+            F.array(
+                F.col("_la"), F.col("_la"), F.col("_la") + 8.1234, F.col("_la") + 8.1234
+            ).alias("lats"),
+            F.array(
+                F.col("_lo"), F.col("_lo") + 12.1234, F.col("_lo") + 12.1234, F.col("_lo")
+            ).alias("lons"),
+        )
+        return rings.select(
+            "ring_id",
+            F.round(ring_area_m2(F.col("lats"), F.col("lons")) / 1e6, 3).alias(
+                "area_km2"
+            ),
+        )
+
     # --- geospatial: zonal statistics over the PIP rectangles ----------------------
     def q_zonal_stats(spark, sf):
         from osmgraft.operators.zonal import zonal_stats
@@ -1683,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
         "way_lengths": q_way_lengths,
+        "ring_areas": q_ring_areas,
         "zonal_stats_boxes": q_zonal_stats,
         "asof_join_events": q_asof_join,
         "interval_join_events": q_interval_join,
@@ -1692,7 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
-    from osmgraft.operators.geom import polyline_length_oracle_sql
+    from osmgraft.operators.geom import polyline_length_oracle_sql, ring_area_oracle_sql
     from osmgraft.operators.layout import zorder_oracle_sql
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
@@ -2413,6 +2439,19 @@ def oracle_sql() -> dict[str, str]:
                 "select grp as way_id, list(lat order by pid) as lats, "
                 f"list(lon order by pid) as lons from ({_PTS_SQL}) p "
                 "where pid < 2000 group by grp"
+            )
+            + ")"
+        ),
+        # identical wrap-around Chamberlain-Duquette terms, summed in
+        # index order, rounded to 3 decimals of km^2
+        "ring_areas": (
+            "select ring_id, round(area_m2 / 1e6, 3) as area_km2 from ("
+            + ring_area_oracle_sql(
+                "select cast(n_nationkey as bigint) as ring_id, "
+                "[la, la, la + 8.1234, la + 8.1234] as lats, "
+                "[lo, lo + 12.1234, lo + 12.1234, lo] as lons from ("
+                "select n_nationkey, (n_nationkey % 9) * 9.0 - 40.5678 as la, "
+                "(n_nationkey * 29 % 300) - 150.5678 as lo from nation)"
             )
             + ")"
         ),

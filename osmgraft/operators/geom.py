@@ -74,6 +74,60 @@ def polyline_length_oracle_sql(ways_cte: str) -> str:
     )
 
 
+def ring_area_m2(lats: Column, lons: Column) -> Column:
+    """Spherical polygon area (m^2) of the ring given as parallel lat/lon
+    arrays (open rings fine — the fold wraps the last->first edge).
+    Chamberlain & Duquette's spherical shoelace (JPL publication 07-3,
+    public; the formula turf.js ships):
+
+        area = |sum over edges of (lon2-lon1) * (2 + sin(lat1) + sin(lat2))|
+               * R^2 / 2   (radians)
+
+    Pure Catalyst fold like :func:`polyline_length_m` — no Python, no
+    shuffle. Degenerate rings (< 3 points) return 0.0. Accurate to ~1e-6
+    relative for polygons small against the sphere (admin/landuse
+    scale); not for hemisphere-scale rings."""
+    n = F.size(lats)
+    r = 6371008.8
+
+    def vertex(arr: Column, i: Column) -> Column:
+        # wrap: index i modulo n, 1-based element_at
+        return F.element_at(arr, (F.pmod(i, n) + 1).cast("int"))
+
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    term = lambda i: (  # noqa: E731
+        F.radians(vertex(lons, i + 1) - vertex(lons, i))
+        * (
+            F.lit(2.0)
+            + F.sin(F.radians(vertex(lats, i)))
+            + F.sin(F.radians(vertex(lats, i + 1)))
+        )
+    )
+    total = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + term(i))
+    return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(total) * F.lit(r * r / 2.0))
+
+
+def ring_area_oracle_sql(rings_cte: str) -> str:
+    """DuckDB replica over ``rings_cte`` (columns ``ring_id, lats,
+    lons``): identical wrap-around edge terms summed in index order."""
+    term = (
+        "radians(lons[1 + ((i + 1) % n)] - lons[1 + (i % n)]) * "
+        "(2.0 + sin(radians(lats[1 + (i % n)])) + sin(radians(lats[1 + ((i + 1) % n)])))"
+    )
+    return (
+        f"with ga_r as (select *, len(lats) as n from ({rings_cte})), "
+        "ga_e as (select ring_id, "
+        "unnest(range(0, greatest(n, 1))) as i from ga_r), "
+        "ga_t as (select e.ring_id, "
+        f"sum({term}) as s "
+        "from ga_e e join ga_r r using (ring_id) group by e.ring_id), "
+        "ga_a as (select ring_id, abs(s) * 6371008.8 * 6371008.8 / 2.0 as area_m2 "
+        "from ga_t) "
+        "select r.ring_id, case when r.n < 3 then 0.0 else a.area_m2 end as area_m2 "
+        "from ga_r r left join ga_a a using (ring_id)"
+    )
+
+
 def _dp_keep(lats: np.ndarray, lons: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep-mask, iterative (explicit stack — a 10^5-point
     degenerate chain must not hit Python's recursion limit)."""

@@ -143,3 +143,77 @@ def test_simplify_error_bound_and_length_sanity(spark):
 
     with pytest.raises(ValueError):
         simplify_polyline(df, -0.1)
+
+
+def _ca_area(lats, lons):
+    """Python reference: Chamberlain-Duquette spherical shoelace."""
+    n = len(lats)
+    if n < 3:
+        return 0.0
+    s = 0.0
+    for i in range(n):
+        j = (i + 1) % n
+        s += math.radians(lons[j] - lons[i]) * (
+            2.0 + math.sin(math.radians(lats[i])) + math.sin(math.radians(lats[j]))
+        )
+    return abs(s) * 6371008.8**2 / 2.0
+
+
+def _rings(spark, rows):
+    return spark.createDataFrame(
+        rows, "ring_id long, lats array<double>, lons array<double>"
+    )
+
+
+def test_ring_area_matches_reference_and_known_value(spark):
+    from osmgraft.operators.geom import ring_area_m2
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 1.0], [0.0, 1.0, 1.0, 0.0]),  # 1x1 deg at equator
+        (2, [50.0, 50.0, 51.0, 51.0], [7.0, 8.5, 8.5, 7.0]),  # mid-lat box
+        (3, [10.0, 12.0, 11.0], [20.0, 20.0, 22.0]),  # triangle
+        (4, [5.0, 6.0], [5.0, 6.0]),  # degenerate -> 0
+        (5, [], []),  # empty -> 0
+    ]
+    got = {
+        r["ring_id"]: r["area_m2"]
+        for r in _rings(spark, rows)
+        .select("ring_id", ring_area_m2(F.col("lats"), F.col("lons")).alias("area_m2"))
+        .collect()
+    }
+    for rid, las, los in rows:
+        assert got[rid] == pytest.approx(_ca_area(las, los), rel=1e-12)
+    # 1x1 deg at the equator ~ 111.19^2 km^2 ~ 1.236e10 m^2 (within 0.1%)
+    assert got[1] == pytest.approx(1.2364e10, rel=1e-3)
+    assert got[4] == 0.0 and got[5] == 0.0
+    # orientation invariance: reversed ring gives the same area
+    rev = _rings(spark, [(9, rows[1][1][::-1], rows[1][2][::-1])])
+    a9 = rev.select(ring_area_m2(F.col("lats"), F.col("lons")).alias("a")).collect()[0]["a"]
+    assert a9 == pytest.approx(got[2], rel=1e-12)
+
+
+def test_ring_area_parity_vs_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.geom import ring_area_m2, ring_area_oracle_sql
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        k = int(rng.integers(3, 9))
+        cx, cy = rng.uniform(-60, 60), rng.uniform(-120, 120)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, k))
+        rad = rng.uniform(0.3, 5.0)
+        rows.append((i, (cx + rad * np.sin(ang)).tolist(), (cy + rad * np.cos(ang)).tolist()))
+    rows.append((900, [1.0, 2.0], [1.0, 2.0]))
+    got = {
+        r["ring_id"]: r["area_m2"]
+        for r in _rings(spark, rows)
+        .select("ring_id", ring_area_m2(F.col("lats"), F.col("lons")).alias("area_m2"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table rings(ring_id bigint, lats double[], lons double[])")
+    con.executemany("insert into rings values (?, ?, ?)", rows)
+    sql = ring_area_oracle_sql("select ring_id, lats, lons from rings")
+    for rid, area in con.execute(sql).fetchall():
+        assert got[rid] == pytest.approx(area, rel=1e-9)
