@@ -390,10 +390,16 @@ def main() -> None:
 
         # z12 base + 6 rollup levels off the staged labels; the corpus is
         # scanned once (per-level persist), so the timing is base-agg
-        # dominated. unpersist after so repeat rounds re-measure the work.
-        pyr = tile_pyramid(staged_labels, z_max=12, z_min=6, rank_col="rank")
+        # dominated. unpersist the pyramid's own frames after so repeat
+        # rounds re-measure the work (not clearCache — that would evict
+        # unrelated caches).
+        tracker = []
+        pyr = tile_pyramid(
+            staged_labels, z_max=12, z_min=6, rank_col="rank", persist_tracker=tracker
+        )
         n = pyr.count()
-        spark.catalog.clearCache()
+        for frame in tracker:
+            frame.unpersist()
         return n
 
     # codec throughput rows: staged (untimed) >=10^4-payload tables; each

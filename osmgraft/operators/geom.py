@@ -83,10 +83,16 @@ def ring_area_m2(lats: Column, lons: Column) -> Column:
         area = |sum over edges of (lon2-lon1) * (2 + sin(lat1) + sin(lat2))|
                * R^2 / 2   (radians)
 
+    Edge longitude deltas are wrapped to (-180, 180] before the term, so
+    small rings CROSSING the antimeridian (Fiji-scale landuse at lon
+    +-180) compute correctly; without the wrap their delta-lon would read
+    ~-360 and the area would be off by orders of magnitude.
+
     Pure Catalyst fold like :func:`polyline_length_m` — no Python, no
     shuffle. Degenerate rings (< 3 points) return 0.0. Accurate to ~1e-6
     relative for polygons small against the sphere (admin/landuse
-    scale); not for hemisphere-scale rings."""
+    scale); not for hemisphere-scale rings (any ring with a true edge
+    span of exactly 180 degrees is ambiguous under the wrap)."""
     n = F.size(lats)
     r = 6371008.8
 
@@ -95,8 +101,13 @@ def ring_area_m2(lats: Column, lons: Column) -> Column:
         return F.element_at(arr, (F.pmod(i, n) + 1).cast("int"))
 
     idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    # antimeridian wrap: delta-lon normalized to (-180, 180]
+    dlon = lambda i: (  # noqa: E731
+        F.pmod(vertex(lons, i + 1) - vertex(lons, i) + F.lit(540.0), F.lit(360.0))
+        - F.lit(180.0)
+    )
     term = lambda i: (  # noqa: E731
-        F.radians(vertex(lons, i + 1) - vertex(lons, i))
+        F.radians(dlon(i))
         * (
             F.lit(2.0)
             + F.sin(F.radians(vertex(lats, i)))
@@ -111,7 +122,7 @@ def ring_area_oracle_sql(rings_cte: str) -> str:
     """DuckDB replica over ``rings_cte`` (columns ``ring_id, lats,
     lons``): identical wrap-around edge terms summed in index order."""
     term = (
-        "radians(lons[1 + ((i + 1) % n)] - lons[1 + (i % n)]) * "
+        "radians(((lons[1 + ((i + 1) % n)] - lons[1 + (i % n)] + 540.0) % 360.0) - 180.0) * "
         "(2.0 + sin(radians(lats[1 + (i % n)])) + sin(radians(lats[1 + ((i + 1) % n)])))"
     )
     return (

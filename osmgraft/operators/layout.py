@@ -115,8 +115,10 @@ def zquads_for_box(
     max_ranges: int = 64,
 ) -> tuple[int, list[int]]:
     """Covering quads for a lat/lon box: ``(level, sorted key prefixes)``
-    at the COARSEST quadtree level whose intersecting-quad count fits in
-    ``max_ranges``. A quad's prefix is its Morton key shifted right by
+    at the FINEST quadtree level whose intersecting-quad count still fits
+    in ``max_ranges`` (the tightest cover under the budget — descending
+    from leaf level, the first level that fits wins; coarser levels
+    always fit but over-cover). A quad's prefix is its Morton key shifted right by
     ``2*(bits-level)`` — one integer per quad. Driver-side only: the box
     is a query constant, so the work is O(max_ranges), never data-sized.
 

@@ -69,6 +69,20 @@ def hll_bucket_rho(col: Column, p: int) -> tuple[Column, Column]:
     return bucket, rho
 
 
+def _hll_registers_impl(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int
+) -> DataFrame:
+    """Shared register pass: grouped and ungrouped sketches are the SAME
+    aggregation (group_cols=[] degenerates to the global groupBy)."""
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     """HyperLogLog register table for the values in ``value_col``:
     ``(bucket, rho)`` with one row per OCCUPIED bucket, bucket in
@@ -76,13 +90,7 @@ def hll_registers(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
     (max over all values landing in the bucket). Pure integers — the
     strongest possible oracle artifact. Merge sketches by unioning
     register tables and re-running ``groupBy(bucket).max(rho)``."""
-    bucket, rho = hll_bucket_rho(F.col(value_col), p)
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return _hll_registers_impl(df, [], value_col, p)
 
 
 def _alpha_m(m: int) -> float:
@@ -100,18 +108,13 @@ def _alpha_m(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
-    """One-row distinct-count estimate from a register table:
-    ``(est, v_zero, m)``.
-
-    Order-free float path: the harmonic sum Z = sum(2^-rho) over all m
-    registers is computed as the exact integer sum of ``2^(sbits+1-rho)``
-    in DECIMAL(38,0) (every term and the total are exact; empty registers
-    contribute the known constant), converted to double ONCE. alpha is
-    one shared double literal (:func:`_alpha_m`) embedded in both
-    engines, with the paper's tabulated constants below p=7. Small
-    range (E <= 2.5m, empty buckets remain) switches to linear counting
-    ``m * ln(m / v_zero)`` per the original paper."""
+def _hll_estimate_impl(
+    registers: DataFrame, group_cols: list[str], p: int
+) -> DataFrame:
+    """Shared estimator: ONE copy of the subtle math (exact DECIMAL
+    harmonic sum, alpha literal, 2.5m linear-counting switch) serves both
+    the global and the grouped sketch — group_cols=[] degenerates to the
+    global aggregate."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     m = 1 << p
@@ -120,7 +123,7 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
     # exact integer for every legal rho in [1, sbits+1]
     scale = float(1 << (sbits + 1))
     term = F.pow(F.lit(2.0), F.lit(sbits + 1) - F.col("rho")).cast("decimal(38,0)")
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.count("*").alias("n_occ"),
         F.sum(term).alias("s_occ"),
     )
@@ -137,7 +140,24 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         (raw <= F.lit(2.5 * m)) & (v_zero > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
     ).otherwise(raw)
-    return agg.select(est.alias("est"), v_zero.cast("long").alias("v_zero"), F.lit(m).alias("m"))
+    return agg.select(
+        *group_cols, est.alias("est"), v_zero.cast("long").alias("v_zero"), F.lit(m).alias("m")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """One-row distinct-count estimate from a register table:
+    ``(est, v_zero, m)``.
+
+    Order-free float path: the harmonic sum Z = sum(2^-rho) over all m
+    registers is computed as the exact integer sum of ``2^(sbits+1-rho)``
+    in DECIMAL(38,0) (every term and the total are exact; empty registers
+    contribute the known constant), converted to double ONCE. alpha is
+    one shared double literal (:func:`_alpha_m`) embedded in both
+    engines, with the paper's tabulated constants below p=7. Small
+    range (E <= 2.5m, empty buckets remain) switches to linear counting
+    ``m * ln(m / v_zero)`` per the original paper."""
+    return _hll_estimate_impl(registers, [], p)
 
 
 def hll_count_distinct(df: DataFrame, value_col: str, p: int = 12) -> DataFrame:
@@ -149,53 +169,28 @@ def hll_registers_by(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 12
 ) -> DataFrame:
     """Per-group register tables: ``(*group_cols, bucket, rho)`` — the
-    grouped form of :func:`hll_registers`, which is what replaces
-    ``countDistinct`` per group at scale: exact per-group distinct is a
-    shuffle of every (group, value) pair, while the grouped sketch's
-    shuffle is bounded at ``|groups| * 2^p`` rows per map partition (pick
-    p so groups x 2^p fits: p=10 -> 1024 integers per group). Merge
-    shards by union + the same groupBy max."""
+    grouped form of :func:`hll_registers` (same shared aggregation), which
+    is what replaces ``countDistinct`` per group at scale: exact per-group
+    distinct is a shuffle of every (group, value) pair, while the grouped
+    sketch's shuffle is bounded at ``|groups| * 2^p`` rows per map
+    partition (pick p so groups x 2^p fits: p=10 -> 1024 integers per
+    group). Merge shards by union + the same groupBy max."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    bucket, rho = hll_bucket_rho(F.col(value_col), p)
-    return (
-        df.where(F.col(value_col).isNotNull())
-        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return _hll_registers_impl(df, group_cols, value_col, p)
 
 
 def hll_estimate_by(
     registers: DataFrame, group_cols: list[str], p: int = 12
 ) -> DataFrame:
     """Per-group estimates ``(*group_cols, est, v_zero, m)`` from a
-    grouped register table — the same order-free DECIMAL harmonic sum and
-    literal-for-literal estimator as :func:`hll_estimate`, one row per
-    group out of a single groupBy (map-side combinable)."""
-    if not 4 <= p <= 18:
-        raise ValueError("p must be in [4, 18]")
-    m = 1 << p
-    sbits = 64 - p
-    scale = float(1 << (sbits + 1))
-    term = F.pow(F.lit(2.0), F.lit(sbits + 1) - F.col("rho")).cast("decimal(38,0)")
-    agg = registers.groupBy(*group_cols).agg(
-        F.count("*").alias("n_occ"), F.sum(term).alias("s_occ")
-    )
-    v_zero = F.lit(m) - F.col("n_occ")
-    s_total = (
-        F.coalesce(F.col("s_occ"), F.lit(0).cast("decimal(38,0)"))
-        + v_zero.cast("decimal(38,0)") * F.lit(1 << (sbits + 1)).cast("decimal(38,0)")
-    )
-    alpha = F.lit(_alpha_m(m))
-    raw = alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(scale) / s_total.cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
-    ).otherwise(raw)
-    return agg.select(
-        *group_cols, est.alias("est"), v_zero.cast("long").alias("v_zero"), F.lit(m).alias("m")
-    )
+    grouped register table — the SAME estimator expression as
+    :func:`hll_estimate` (one shared implementation, so the DECIMAL
+    harmonic sum / alpha / linear-counting switch can never diverge
+    between the variants), one row per group out of a single groupBy."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    return _hll_estimate_impl(registers, group_cols, p)
 
 
 def hll_count_distinct_by(
@@ -237,6 +232,65 @@ def hll_by_oracle_sql(values_cte: str, group_cols: list[str], p: int = 12) -> st
         f"then {float(m)} * ln({float(m)} / cast(v_zero as double)) else raw end as est, "
         f"cast(v_zero as bigint) as v_zero, {m} as m from hllg_e"
     )
+
+
+def _hll_oracle_impl(
+    values_cte: str, group_cols: list[str], p: int, registers_only: bool
+) -> str:
+    """ONE DuckDB template serves the global and grouped sketches (the
+    grouped SQL prefixes every stage with the group columns); identical
+    hash (``md5_number_lower``), integer registers, order-free DECIMAL
+    harmonic sum and literal-for-literal estimator."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    sbits = 64 - p
+    scale = float(1 << (sbits + 1))
+    mask = (1 << sbits) - 1
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f" group by {g}" if g else ""
+    regs = (
+        f"with hll_v as (select {gsel}v from ({values_cte}) where v is not null), "
+        f"hll_h as (select {gsel}md5_number_lower(cast(v as varchar)) as h from hll_v), "
+        f"hll_br as (select {gsel}cast(h >> {sbits} as bigint) as bucket, "
+        f"cast(case when (h & {mask}) = 0 then {sbits + 1} "
+        f"else {sbits + 1} - length(bin(h & {mask})) end as int) as rho from hll_h), "
+        f"hll_regs as (select {gsel}bucket, max(rho) as rho from hll_br "
+        f"group by {gsel}bucket)"
+    )
+    if registers_only:
+        return f"{regs} select {gsel}bucket, rho from hll_regs"
+    return (
+        f"{regs}, "
+        f"hll_a as (select {gsel}count(*) as n_occ, sum(cast(pow(2.0, {sbits + 1} - rho) "
+        f"as decimal(38,0))) as s_occ from hll_regs{gby}), "
+        f"hll_t as (select {gsel}n_occ, cast({m} as bigint) - n_occ as v_zero, "
+        f"coalesce(s_occ, cast(0 as decimal(38,0))) + "
+        f"cast(cast({m} as bigint) - n_occ as decimal(38,0)) * "
+        f"cast({1 << (sbits + 1)} as decimal(38,0)) as s_total from hll_a), "
+        f"hll_e as (select {gsel}v_zero, cast({_alpha_m(m)!r} as double) * {float(m)} * "
+        f"{float(m)} * {scale} / cast(s_total as double) as raw from hll_t) "
+        f"select {gsel}case when raw <= {2.5 * m} and v_zero > 0 "
+        f"then {float(m)} * ln({float(m)} / cast(v_zero as double)) else raw end as est, "
+        f"cast(v_zero as bigint) as v_zero, {m} as m from hll_e"
+    )
+
+
+def hll_oracle_sql(values_cte: str, p: int = 12, registers_only: bool = False) -> str:
+    """DuckDB replica of the full sketch over ``values_cte`` (a SQL
+    fragment yielding one column ``v``) — see :func:`_hll_oracle_impl`."""
+    return _hll_oracle_impl(values_cte, [], p, registers_only)
+
+
+def hll_by_oracle_sql(values_cte: str, group_cols: list[str], p: int = 12) -> str:
+    """DuckDB replica of the grouped sketch over ``values_cte`` (yields
+    ``*group_cols, v``) — same single template as :func:`hll_oracle_sql`,
+    grouped."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    return _hll_oracle_impl(values_cte, group_cols, p, registers_only=False)
+
 
 
 def hll_oracle_sql(values_cte: str, p: int = 12, registers_only: bool = False) -> str:
@@ -362,9 +416,11 @@ def cms_point_query(
             for i, c in enumerate(cols)
         ]
     )
-    probed = probes.select(
-        F.col(value_col).alias("value"), F.explode(cells).alias("_c")
-    ).select("value", F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    probed = (
+        probes.where(F.col(value_col).isNotNull())  # oracle filters nulls too
+        .select(F.col(value_col).alias("value"), F.explode(cells).alias("_c"))
+        .select("value", F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    )
     joined = probed.join(F.broadcast(table), ["row", "col"], "left").select(
         "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )

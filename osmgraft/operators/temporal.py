@@ -35,15 +35,31 @@ _DIRECTIONS = ("backward", "forward")
 
 
 def _seconds(df: DataFrame, colname: str):
-    """Epoch-seconds view of a numeric or timestamp column. TIMESTAMP_NTZ
-    cannot cast to double directly (Spark 4); route it through
-    timestamp_ltz — a constant session-tz shift, so bucket arithmetic and
-    gap differences stay consistent across columns of the same frame."""
+    """Epoch-seconds view of a numeric or timestamp column.
+
+    Timestamps use the engine's second-truncated ``timestamp_diff``-from-
+    epoch construction (shared with the batch sessionizer) — it is valid
+    for both TIMESTAMP and TIMESTAMP_NTZ and, unlike casting NTZ through
+    timestamp_ltz, is not distorted by DST transitions of the session
+    timezone (an NTZ->LTZ cast shifts by a non-constant offset across a
+    DST boundary, which would bend gap and bucket arithmetic by up to an
+    hour)."""
     dt = dict(df.dtypes)[colname]
-    c = F.col(colname)
-    if dt == "timestamp_ntz":
-        return c.cast("timestamp_ltz").cast("double")
-    return c.cast("double")
+    if dt.startswith("timestamp"):
+        from osmgraft.operators.sessions import _epoch_seconds
+
+        return _epoch_seconds(df, colname).cast("double")
+    return F.col(colname).cast("double")
+
+
+def _ts_seconds_expr(col: Column, ts_type: str) -> Column:
+    """Second-truncated epoch of an arbitrary timestamp EXPRESSION (e.g.
+    a struct field) whose Spark type string is ``ts_type`` — same
+    construction as :func:`_seconds`, usable where no frame is at hand."""
+    if not ts_type.startswith("timestamp"):
+        return col.cast("double")
+    base = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    return F.timestamp_diff("SECOND", base, F.date_trunc("second", col)).cast("double")
 
 
 def asof_join(
@@ -118,16 +134,10 @@ def asof_join(
     if tolerance_s is not None:
         if tolerance_s < 0:
             raise ValueError("tolerance_s must be >= 0")
-        ntz_l = dict(left.dtypes)[left_ts] == "timestamp_ntz"
-        ntz_r = dict(right.dtypes)[right_ts] == "timestamp_ntz"
-        l_sec = (
-            F.col("_ts").cast("timestamp_ltz") if ntz_l else F.col("_ts")
-        ).cast("double")
-        r_sec = (
-            F.col(f"_m.{right_ts}").cast("timestamp_ltz")
-            if ntz_r
-            else F.col(f"_m.{right_ts}")
-        ).cast("double")
+        l_sec = _ts_seconds_expr(F.col("_ts"), dict(left.dtypes)[left_ts])
+        r_sec = _ts_seconds_expr(
+            F.col(f"_m.{right_ts}"), dict(right.dtypes)[right_ts]
+        )
         gap = F.abs(l_sec - r_sec)
         carried = carried.withColumn(
             "_m", F.when(gap <= F.lit(float(tolerance_s)), F.col("_m"))
@@ -254,7 +264,8 @@ def asof_oracle_sql(
     cmp = ">=" if direction == "backward" else "<="
     ord_ = "desc" if direction == "backward" else "asc"
     tol = (
-        f" and abs(epoch(l.{left_ts}) - epoch(r.{right_ts})) <= {float(tolerance_s)!r}"
+        f" and abs(date_diff('second', r.{right_ts}, l.{left_ts})) "
+        f"<= {float(tolerance_s)!r}"
         if tolerance_s is not None
         else ""
     )
@@ -267,6 +278,7 @@ def asof_oracle_sql(
         f"order by r.{right_ts} {ord_}, 1 limit 1) b on true"
     )
     if how == "inner":
-        first_payload = right_payload[0]
-        return f"select * from ({base}) where {first_payload}_right is not null"
+        # key the filter on the matched right TS (never null for a real
+        # match) — a payload column may be legitimately NULL on a match
+        return f"select * from ({base}) where {right_ts}_right is not null"
     return base

@@ -53,6 +53,7 @@ def tile_pyramid(
     lon_col: str = "lon",
     rank_col: str | None = None,
     single_scan: bool = True,
+    persist_tracker: list | None = None,
 ) -> DataFrame:
     """Multi-resolution tile rollup: per-tile label count (and, with
     ``rank_col``, best importance rank) at EVERY zoom in
@@ -83,7 +84,11 @@ def tile_pyramid(
     footprint is bounded by the z_max tile table regardless of corpus
     size. The first action computes each level once; pass
     ``single_scan=False`` to opt out (e.g. when the caller persists the
-    input itself)."""
+    input itself). The persisted level frames live until the session ends
+    unless the caller passes ``persist_tracker`` (a list) — every
+    persisted frame is appended to it so the caller can ``unpersist()``
+    after consuming the pyramid, instead of nuking the whole session
+    cache with ``spark.catalog.clearCache()``."""
     if z_min < 0 or z_max < z_min:
         raise ValueError("need 0 <= z_min <= z_max")
     aggs = [F.count("*").alias("n_labels")]
@@ -98,6 +103,8 @@ def tile_pyramid(
     )
     if single_scan and z_max > z_min:
         level = level.persist()
+        if persist_tracker is not None:
+            persist_tracker.append(level)
     levels = [level]
     for z in range(z_max - 1, z_min - 1, -1):
         level = (
@@ -112,6 +119,8 @@ def tile_pyramid(
         )
         if single_scan and z > z_min:
             level = level.persist()
+            if persist_tracker is not None:
+                persist_tracker.append(level)
         levels.append(level)
     out = levels[0]
     for lv in levels[1:]:

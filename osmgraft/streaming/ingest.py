@@ -396,11 +396,14 @@ def stream_sessionize(
         }[unit.strip().lower()]
         ttl_ms = int(float(qty) * mult)
 
-    ts_type = events.schema[ts_col].dataType.simpleString()
-    base = F.lit("1970-01-01 00:00:00").cast(ts_type)
-    epoch_s = F.timestamp_diff("SECOND", base, F.date_trunc("second", F.col(ts_col)))
+    from osmgraft.operators.sessions import _epoch_seconds
+
+    # the SAME epoch construction as the batch operator (imported, not
+    # copied) — the bit-equal-boundaries claim holds by construction
     slim = events.select(
-        F.col(user_col), epoch_s.alias("_s"), F.col(ts_col).alias("_o")
+        F.col(user_col),
+        _epoch_seconds(events, ts_col).alias("_s"),
+        F.col(ts_col).alias("_o"),
     )
 
     def fn(key, pdfs, state: GroupState):
@@ -408,20 +411,27 @@ def stream_sessionize(
 
         if state.hasTimedOut:
             seq, start_s, last_s, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [[key[0], seq, start_s, last_s, n]],
-                columns=[user_col, "session_seq", "start_s", "end_s", "n_events"],
-            )
+            # keep a (seq, closed) tombstone instead of remove(): dropping
+            # the counter would restart the user's next session at seq 1
+            # and collide with the already-emitted (user, session_seq)
+            state.update((seq, None, None, 0))
+            if start_s is not None:
+                yield pd.DataFrame(
+                    [[key[0], seq, start_s, last_s, n]],
+                    columns=[user_col, "session_seq", "start_s", "end_s", "n_events"],
+                )
             return
         seq, start_s, last_s, n = (
             state.get if state.exists else (0, None, None, 0)
         )
         closed = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            for s in pdf.sort_values(["_s", "_o"], kind="stable")["_s"]:
+        # one sort over the WHOLE micro-batch: pdfs yields multiple Arrow
+        # chunks for large groups, and folding chunks independently would
+        # violate the documented within-batch ordering contract
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for s in whole.sort_values(["_s", "_o"], kind="stable")["_s"]:
                 s = int(s)
                 if start_s is None:
                     seq, start_s, last_s, n = seq + 1, s, s, 1

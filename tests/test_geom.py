@@ -146,14 +146,16 @@ def test_simplify_error_bound_and_length_sanity(spark):
 
 
 def _ca_area(lats, lons):
-    """Python reference: Chamberlain-Duquette spherical shoelace."""
+    """Python reference: Chamberlain-Duquette spherical shoelace with the
+    antimeridian delta-lon wrap."""
     n = len(lats)
     if n < 3:
         return 0.0
     s = 0.0
     for i in range(n):
         j = (i + 1) % n
-        s += math.radians(lons[j] - lons[i]) * (
+        dlon = ((lons[j] - lons[i] + 540.0) % 360.0) - 180.0
+        s += math.radians(dlon) * (
             2.0 + math.sin(math.radians(lats[i])) + math.sin(math.radians(lats[j]))
         )
     return abs(s) * 6371008.8**2 / 2.0
@@ -217,3 +219,20 @@ def test_ring_area_parity_vs_duckdb(spark):
     sql = ring_area_oracle_sql("select ring_id, lats, lons from rings")
     for rid, area in con.execute(sql).fetchall():
         assert got[rid] == pytest.approx(area, rel=1e-9)
+
+
+def test_ring_area_antimeridian_crossing(spark):
+    """A small box straddling lon=180 must equal the same-shaped box away
+    from the seam, not a 360-degree-wide monster."""
+    from osmgraft.operators.geom import ring_area_m2
+
+    seam = (1, [10.0, 10.0, 11.0, 11.0], [179.5, -179.5, -179.5, 179.5])
+    plain = (2, [10.0, 10.0, 11.0, 11.0], [0.0, 1.0, 1.0, 0.0])
+    got = {
+        r["ring_id"]: r["area_m2"]
+        for r in _rings(spark, [seam, plain])
+        .select("ring_id", ring_area_m2(F.col("lats"), F.col("lons")).alias("area_m2"))
+        .collect()
+    }
+    assert got[1] == pytest.approx(got[2], rel=1e-9)
+    assert got[1] == pytest.approx(_ca_area(*seam[1:]), rel=1e-12)

@@ -334,3 +334,55 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 6  # 3 users x 2 closed sessions
+
+
+def test_stream_sessionize_multi_chunk_group_sorted_once(spark, tmp_path):
+    """With tiny Arrow batches a single user's micro-batch spans many
+    chunks; the fold must sort the WHOLE batch (not per chunk), or
+    out-of-order events across chunk boundaries corrupt session
+    boundaries. Events are written interleaved/reversed to force it."""
+    from datetime import datetime, timedelta
+
+    from osmgraft.streaming.ingest import stream_sessionize
+
+    t0 = datetime(2024, 4, 1)
+    # one user, 40 events: two sessions split by a 1-hour gap, written in
+    # REVERSE time order so chunk 1 holds the latest events
+    times = [i * 60 for i in range(20)] + [7200 + i * 60 for i in range(20)]
+    rows = [(i, 1, t0 + timedelta(seconds=s)) for i, s in enumerate(reversed(times))]
+    # closer: an event far after everything, so both sessions close
+    rows.append((99, 1, t0 + timedelta(seconds=50_000)))
+
+    src = str(tmp_path / "chunk_src")
+    schema = "event_id long, user_id long, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        out = stream_sessionize(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunk_sessions")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["session_seq"]: (r["start_s"], r["end_s"], r["n_events"])
+            for r in spark.sql("select * from chunk_sessions").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    # naive epoch (matches _epoch_seconds), independent of the host TZ
+    base = int((t0 - datetime(1970, 1, 1)).total_seconds())
+    assert got == {
+        1: (base + 0, base + 19 * 60, 20),
+        2: (base + 7200, base + 7200 + 19 * 60, 20),
+    }
