@@ -1481,6 +1481,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vals = exp.select("g", F.concat_ws("-", "_t", "_b").alias("w"))
         return hll_count_distinct_by(vals, ["g"], "w", p=9)
 
+    # --- curation: deterministic weighted sampling (Efraimidis-Spirakis) -----------
+    def q_weighted_sample(spark, sf):
+        from osmgraft.operators.curation import weighted_sample
+
+        d = _read(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        return weighted_sample(
+            d, k=20, weight_col="n_chars", strata_cols=["lang"], seed=1
+        )
+
+    # --- curation: corpus-percentile quality gate -----------------------------------
+    def q_quantile_gate(spark, sf):
+        from osmgraft.operators.curation import quantile_gate
+
+        d = _read(spark, sf, "documents").select("doc_id", "n_chars")
+        return quantile_gate(d, "n_chars", q=0.9, lo=0.0, hi=2048.0, nbins=256)
+
     # --- sketch: Count-Min weighted heavy-hitter point estimates -----------------
     def q_cms_topk(spark, sf):
         from osmgraft.operators.sketch import cms_point_query, cms_table
@@ -1702,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_estimate,
         "curation_pipeline": q_curation_pipeline,
         "domain_caps": q_domain_caps,
+        "weighted_sample_docs": q_weighted_sample,
+        "quantile_gate_p90": q_quantile_gate,
         "hll_distinct_by_source": q_hll_by_source,
         "cms_heavy_hitters": q_cms_topk,
         "hist_quantiles": q_hist_quantiles,
@@ -1718,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
+    from osmgraft.operators.curation import weighted_sample_oracle_sql
     from osmgraft.operators.geom import polyline_length_oracle_sql, ring_area_oracle_sql
     from osmgraft.operators.layout import zorder_oracle_sql
     from osmgraft.operators.temporal import asof_oracle_sql
@@ -2405,6 +2424,23 @@ def oracle_sql() -> dict[str, str]:
             "order by n_chars desc, doc_id asc) as int) as domain_rank, "
             "cast((domain is not null and row_number() over (partition by domain "
             "order by n_chars desc, doc_id asc) <= 3) as int) as kept from p9"
+        ),
+        # identical md5-derived u and ln(u)/w key -> the very same rows win
+        "weighted_sample_docs": weighted_sample_oracle_sql(
+            "select doc_id, lang, n_chars from documents",
+            k=20,
+            weight_col="n_chars",
+            strata_cols=["lang"],
+            seed=1,
+        ),
+        # sketch threshold + filter: the gate replays as the histogram
+        # quantile SQL joined back as a scalar threshold
+        "quantile_gate_p90": (
+            "select d.doc_id, d.n_chars from documents d, ("
+            + hist_quantiles_oracle_sql(
+                "select n_chars as v from documents", [0.9], lo=0.0, hi=2048.0, nbins=256
+            )
+            + ") t where cast(d.n_chars as double) >= t.value_est"
         ),
         # Count-Min: identical row-salted md5 hash + power-of-two mask +
         # integer sums replay bit-exactly (osmgraft/operators/sketch.py)

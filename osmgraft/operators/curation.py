@@ -48,7 +48,7 @@ training-data-pipeline surface, same as dedup.py/simsearch.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from osmgraft.operators.dedup import tokens_expr, word_shingles_expr
@@ -491,3 +491,115 @@ def curation_pipeline(
     d = d.join(flagged.select("doc_id"), "doc_id", "left_anti")
     d = hash_sample(d, sample_fraction, seed=seed, sql_exact=sql_exact)
     return chunk_docs(d, chunk_words=chunk_words, overlap=overlap)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the ``k``
+    rows (per stratum, if ``strata_cols``) whose Efraimidis-Spirakis keys
+    win — each row's inclusion probability is proportional to its weight,
+    exactly the "sample documents by quality score" curation primitive.
+
+    Efraimidis & Spirakis 2006 (public): draw u ~ U(0,1) per row, rank by
+    u^(1/w) descending, take the top k. Implemented rank-equivalently as
+    ``ln(u)/w`` descending (one ln + one divide instead of pow; the
+    monotone map preserves the selection), with u derived from the
+    engine's REPLAYABLE md5-low-64 hash of ``(seed| id)`` — u = (53
+    hash bits + 0.5) / 2^53, never 0 or 1 — so the very same rows win in
+    any engine. Deterministic under retries; ties broken by id.
+
+    Scale shape: the key is a narrow codegen expression; selection is a
+    per-stratum window (rows-per-stratum bounded like any keyed top-k).
+    With no strata the window is global — fine for modest k via
+    TakeOrdered semantics, but prefer strata at corpus scale. Rows with
+    weight <= 0 or NULL never win (dropped before ranking)."""
+    from osmgraft.operators.sketch import md5_low64_expr
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    h = md5_low64_expr(F.concat(F.lit(f"ws{seed}|"), F.col(id_col).cast("string")))
+    u = (h.bitwiseAND(F.lit((1 << 53) - 1)).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 53)
+    )
+    key = F.log(u) / w
+    strata = strata_cols or []
+    win = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("_ws_rank", F.row_number().over(win))
+        .where(F.col("_ws_rank") <= k)
+        .drop("_ws_rank")
+    )
+
+
+def weighted_sample_oracle_sql(
+    rows_cte: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    seed: int = 0,
+) -> str:
+    """DuckDB replica of :func:`weighted_sample` over ``rows_cte``:
+    identical md5-derived u, identical ln(u)/w key, identical tie-break."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    strata = strata_cols or []
+    part = f"partition by {', '.join(strata)} " if strata else ""
+    u = (
+        f"(cast(md5_number_lower('ws{seed}|' || cast({id_col} as varchar)) "
+        f"& {(1 << 53) - 1} as double) + 0.5) / {float(1 << 53)!r}"
+    )
+    return (
+        f"with ws_r as (select * from ({rows_cte}) "
+        f"where {weight_col} is not null and {weight_col} > 0), "
+        f"ws_k as (select *, ln({u}) / cast({weight_col} as double) as _key "
+        "from ws_r), "
+        f"ws_n as (select *, row_number() over ({part}order by _key desc, "
+        f"{id_col} asc) as _rk from ws_k) "
+        "select * exclude (_key, _rk) from ws_n where _rk <= "
+        f"{k}"
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    keep: str = "above",
+) -> DataFrame:
+    """Corpus-percentile quality gate: keep the rows whose ``value_col``
+    clears the q-th percentile of the WHOLE corpus — e.g. drop the
+    bottom decile by quality score. The threshold comes from the
+    mergeable fixed-bin histogram sketch (deterministic, unlike
+    ``approx_percentile``), so the gate costs one bounded-shuffle sketch
+    pass plus a broadcast of the single threshold row — never a global
+    sort.
+
+    ``keep='above'`` keeps ``value >= threshold`` (threshold = the
+    sketch's one-sided upper-edge estimate: at least ceil(q*n) values lie
+    at or below it); ``'below'`` keeps the complement ``value <
+    threshold``. The two outputs partition the corpus exactly."""
+    from osmgraft.operators.sketch import hist_bins, hist_quantiles
+
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    bins = hist_bins(df, value_col, lo, hi, nbins)
+    thr = hist_quantiles(bins, [q], lo, hi, nbins).select(
+        F.col("value_est").alias("_thr")
+    )
+    gated = df.crossJoin(F.broadcast(thr))
+    pred = F.col(value_col).cast("double") >= F.col("_thr")
+    return gated.where(pred if keep == "above" else ~pred).drop("_thr")

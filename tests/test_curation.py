@@ -402,3 +402,84 @@ def test_remove_duplicate_lines_metachar_separator_roundtrip(spark):
         for r in remove_duplicate_lines(df, min_df=4, line_sep="|").collect()
     }
     assert out4 == {1: "ad unit|keep me|ad unit", 2: "ad unit|other text"}
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + percentile gate
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Row 'heavy' (weight 50) must win far more often than weight-1 rows
+    across seeds, and the same seed must pick the same rows every time."""
+    from osmgraft.operators.curation import weighted_sample
+
+    import pyspark.sql.functions as F2
+
+    rows = [(i, 50.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_wins = 0
+    for seed in range(30):
+        got = {r["doc_id"] for r in weighted_sample(df, k=10, weight_col="w", seed=seed).collect()}
+        assert len(got) == 10
+        heavy_wins += 0 in got
+    # P(heavy in top-10 of 100 with w=50 vs 99x w=1) is ~1; allow slack
+    assert heavy_wins >= 27
+
+    a = sorted(r["doc_id"] for r in weighted_sample(df, k=10, weight_col="w", seed=3).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, k=10, weight_col="w", seed=3).collect())
+    assert a == b
+
+    # zero/null weights never win
+    df2 = spark.createDataFrame([(1, 0.0), (2, None), (3, 1.0)], "doc_id long, w double")
+    got = {r["doc_id"] for r in weighted_sample(df2, k=3, weight_col="w").collect()}
+    assert got == {3}
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w")
+
+
+def test_weighted_sample_strata_and_duckdb_parity(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.curation import weighted_sample, weighted_sample_oracle_sql
+
+    rows = [(i, f"s{i % 4}", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w double")
+    got = sorted(
+        (r["doc_id"], r["stratum"])
+        for r in weighted_sample(
+            df, k=5, weight_col="w", strata_cols=["stratum"], seed=1
+        ).collect()
+    )
+    assert len(got) == 20  # 4 strata x 5
+    con = duckdb.connect()
+    con.execute("create table rows_t(doc_id bigint, stratum varchar, w double)")
+    con.executemany("insert into rows_t values (?, ?, ?)", rows)
+    sql = weighted_sample_oracle_sql(
+        "select * from rows_t", k=5, weight_col="w", strata_cols=["stratum"], seed=1
+    )
+    want = sorted((d, st) for d, st, _ in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_quantile_gate_partitions_corpus(spark):
+    from osmgraft.operators.curation import quantile_gate
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    above = quantile_gate(df, "score", q=0.9, lo=0.0, hi=1000.0)
+    below = quantile_gate(df, "score", q=0.9, lo=0.0, hi=1000.0, keep="below")
+    na, nb = above.count(), below.count()
+    assert na + nb == 4000  # exact partition
+    # threshold is one-sided: at least ceil(0.9*n) values <= it, so the
+    # kept-above side holds at most ~10% plus one bin's width of mass
+    assert na <= 0.1 * 4000 + 4000 * (1000.0 / 256) / 1000.0 + 1
+    assert na >= 200  # and it's not degenerate
+    vals_above = [r["score"] for r in above.collect()]
+    vals_below = [r["score"] for r in below.collect()]
+    assert min(vals_above) > max(vals_below) - 1e-9
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        quantile_gate(df, "score", 0.5, 0.0, 1.0, keep="middle")
