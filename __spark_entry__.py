@@ -1518,6 +1518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bins, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], lo=0.0, hi=2048.0, nbins=256
         )
 
+    # --- sketch: per-group histogram quantiles --------------------------------------
+    def q_hist_by_lang(spark, sf):
+        from osmgraft.operators.sketch import hist_bins_by, hist_quantiles_by
+
+        d = _read(spark, sf, "documents")
+        bins = hist_bins_by(d, ["lang"], "n_chars", lo=0.0, hi=2048.0, nbins=256)
+        return hist_quantiles_by(
+            bins, ["lang"], [0.25, 0.5, 0.9], lo=0.0, hi=2048.0, nbins=256
+        )
+
     # --- layout: Z-order (Morton) clustering key ----------------------------------
     def q_zorder_keys(spark, sf):
         from osmgraft.operators.layout import zorder_key
@@ -1723,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_by_source": q_hll_by_source,
         "cms_heavy_hitters": q_cms_topk,
         "hist_quantiles": q_hist_quantiles,
+        "hist_quantiles_by_lang": q_hist_by_lang,
         "zorder_keys": q_zorder_keys,
         "tile_pyramid": q_tile_pyramid,
         "way_lengths": q_way_lengths,
@@ -1742,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
         cms_oracle_sql,
+        hist_quantiles_by_oracle_sql,
         hist_quantiles_oracle_sql,
         hll_by_oracle_sql,
         hll_oracle_sql,
@@ -2456,6 +2468,14 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantiles": hist_quantiles_oracle_sql(
             "select n_chars as v from documents",
             [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+            lo=0.0,
+            hi=2048.0,
+            nbins=256,
+        ),
+        "hist_quantiles_by_lang": hist_quantiles_by_oracle_sql(
+            "select lang, n_chars as v from documents",
+            ["lang"],
+            [0.25, 0.5, 0.9],
             lo=0.0,
             hi=2048.0,
             nbins=256,

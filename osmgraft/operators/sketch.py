@@ -560,3 +560,109 @@ def hist_quantiles_oracle_sql(
         f"select q, min(bin) as bin, {lo!r} + cast(min(bin) + 1 as double) * {width!r} "
         "as value_est from hq_c, hq_q where cum >= ceil(q * n) group by q"
     )
+
+
+def hist_bins_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> DataFrame:
+    """Per-group histograms ``(*group_cols, bin, cnt)`` — identical
+    binning to :func:`hist_bins`, one groupBy bounded at
+    ``|groups| * nbins`` rows per map partition. Mergeable per group."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if not 2 <= nbins <= 1 << 20:
+        raise ValueError("nbins must be in [2, 2^20]")
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_quantiles_by(
+    bins: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates ``(*group_cols, q, bin, value_est)``
+    from a grouped histogram — same ceil(q*n)-rank / upper-edge rule as
+    :func:`hist_quantiles`, with the cumulative window PARTITIONED by the
+    group columns (so unlike the global sketch there is no one-task
+    stage at all: each group's <= nbins rows rank within their own
+    partition)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    width = (hi - lo) / nbins
+    gcols = [F.col(c) for c in group_cols]
+    win = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*gcols)
+    cum = bins.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    qdf = cum.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= target)
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.lit(lo) + (F.col("bin") + F.lit(1)).cast("double") * F.lit(width)
+    return hit.select(*group_cols, "q", "bin", est.alias("value_est"))
+
+
+def hist_quantiles_by_oracle_sql(
+    values_cte: str,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> str:
+    """DuckDB replica of hist_bins_by + hist_quantiles_by over
+    ``values_cte`` (yields ``*group_cols, v``)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("each q must be in (0, 1]")
+    width = (hi - lo) / nbins
+    g = ", ".join(group_cols)
+    q_rows = " union all ".join(f"select cast({float(q)!r} as double) as q" for q in qs)
+    return (
+        f"with hqg_v as (select {g}, cast(v as double) as v from ({values_cte}) "
+        "where v is not null), "
+        f"hqg_b as (select {g}, cast(least(greatest(floor((v - {lo!r}) / {width!r}), 0), "
+        f"{nbins - 1}) as int) as bin from hqg_v), "
+        f"hqg_h as (select {g}, bin, count(*) as cnt from hqg_b group by {g}, bin), "
+        f"hqg_c as (select {g}, bin, cnt, "
+        f"sum(cnt) over (partition by {g} order by bin) as cum, "
+        f"sum(cnt) over (partition by {g}) as n from hqg_h), "
+        f"hqg_q as ({q_rows}) "
+        f"select {g}, q, min(bin) as bin, "
+        f"{lo!r} + cast(min(bin) + 1 as double) * {width!r} as value_est "
+        f"from hqg_c, hqg_q where cum >= ceil(q * n) group by {g}, q"
+    )

@@ -364,3 +364,39 @@ def test_hll_grouped_merge_and_validation(spark):
         hll_registers_by(df, [], "v")
     with pytest.raises(ValueError):
         hll_by_oracle_sql("select 1 as g, 1 as v", [], p=9)
+
+
+def test_hist_grouped_equals_per_group_global_and_duckdb(spark):
+    duckdb = pytest.importorskip("duckdb")
+    from osmgraft.operators.sketch import (
+        hist_bins,
+        hist_bins_by,
+        hist_quantiles,
+        hist_quantiles_by,
+        hist_quantiles_by_oracle_sql,
+    )
+
+    rows = [(f"g{i % 3}", (i * 37) % 1000) for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.25, 0.5, 0.95]
+    bins = hist_bins_by(df, ["g"], "v", lo=0.0, hi=1000.0, nbins=64)
+    got = {
+        (r["g"], r["q"]): (r["bin"], r["value_est"])
+        for r in hist_quantiles_by(bins, ["g"], qs, 0.0, 1000.0, 64).collect()
+    }
+    # per-slice global sketch must agree
+    for g in ("g0", "g1", "g2"):
+        sl = hist_bins(df.where(F.col("g") == g), "v", 0.0, 1000.0, 64)
+        for r in hist_quantiles(sl, qs, 0.0, 1000.0, 64).collect():
+            assert got[(g, r["q"])] == (r["bin"], r["value_est"])
+    # DuckDB parity
+    con = duckdb.connect()
+    con.execute("create table vals(g varchar, v bigint)")
+    con.executemany("insert into vals values (?, ?)", rows)
+    sql = hist_quantiles_by_oracle_sql("select g, v from vals", ["g"], qs, 0.0, 1000.0, 64)
+    oracle = {(g, q): (b, v) for g, q, b, v in con.execute(sql).fetchall()}
+    assert got == oracle
+    with pytest.raises(ValueError):
+        hist_bins_by(df, [], "v", 0.0, 1.0)
+    with pytest.raises(ValueError):
+        hist_quantiles_by(bins, ["g"], [1.5], 0.0, 1.0)
