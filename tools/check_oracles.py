@@ -44,7 +44,11 @@ def main():
     from __spark_entry__ import oracle_sql, queries
     from osmgraft.session import get_spark
 
-    spark = get_spark(cores=8)
+    # progress bars interleave carriage returns into the ok/FAIL lines,
+    # breaking line-oriented consumers of this tool's output
+    spark = get_spark(
+        cores=8, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     con = duckdb.connect()
     for t in VIEWS:
         con.execute(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")

@@ -588,6 +588,39 @@ def main() -> None:
         ("zonal stats — broadcast PIP join + single algebraic rollup", p30, notes30)
     )
 
+    # 31. weighted sampling — the ES key is a narrow codegen expression;
+    # selection is ONE per-stratum window exchange, no Python
+    q31 = entry_mod.queries()["weighted_sample_docs"](spark, SF)
+    p31 = plan_of(q31)
+    notes31 = [
+        f"exactly one exchange (the stratum window): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p31)) == 1}",
+        f"pure Catalyst (no Python): {'Python' not in p31}",
+        f"scan pruned — text never read: {'text' not in p31}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p31 and 'BroadcastNestedLoopJoin' not in p31}",
+    ]
+    sections.append(
+        ("weighted sampling — codegen ES key, one stratum window", p31, notes31)
+    )
+
+    # 32. grouped histogram quantiles — both windows and the rank groupBy
+    # share the per-group partitioning; no single-task stage
+    q32 = entry_mod.queries()["hist_quantiles_by_lang"](spark, SF)
+    p32 = plan_of(q32)
+    notes32 = [
+        f"no single-partition exchange over data: "
+        f"{'SinglePartition' not in p32.replace('Exchange SinglePartition, ENSURE_REQUIREMENTS', '') or p32.count('SinglePartition') == 0}",
+        f"windows partitioned by the group key: {'hashpartitioning(lang' in p32}",
+        # the q-list literal is a driver-local PythonRDD CONSTANT (3 rows);
+        # the check targets actual Python EVAL operators in the data path
+        f"no Python eval in the data path: "
+        f"{not re.search(r'(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)', p32)}",
+        f"broadcast q-list join: {'BroadcastNestedLoopJoin' in p32 or 'BroadcastHashJoin' in p32}",
+    ]
+    sections.append(
+        ("grouped histogram quantiles — per-group windows, no one-task stage", p32, notes32)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
