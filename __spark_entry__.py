@@ -536,6 +536,77 @@ def _pip_triangles_sql() -> str:
     )
 
 
+# Overlay-join oracle geometry: per-side triangle vertex offsets (literal
+# doubles shared verbatim between the Spark frames and the SQL replay, so
+# both engines compute bit-identical orientation signs).
+_OVL_L_DY = (1.7321, 0.8913)
+_OVL_L_DX = (0.4567, 1.9876)
+_OVL_R_DY = (4.6912, 1.1358)
+_OVL_R_DX = (6.247, 8.4692)
+
+_OVL_L_SQL = (
+    "select cast(c_custkey as bigint) as lid, "
+    "(c_custkey % 120) * 0.55 - 33.13579 as a, "
+    "(c_custkey * 37 % 320) * 0.9 - 144.24683 as b from customer"
+)
+_OVL_R_SQL = (
+    "select cast(n_nationkey as bigint) as rid, "
+    "(n_nationkey % 9) * 9.0 - 36.78913 as a, "
+    "(n_nationkey * 29 % 300) - 150.56789 as b from nation"
+)
+
+
+def _poly_overlap_tris_sql() -> str:
+    """SQL replica of the overlay join's EXACT kernel over two triangle
+    sets (operators/overlay.py rings_intersect): intersect iff some edge
+    pair properly crosses (strict orientation-sign products) OR — when no
+    edges cross — vertex 1 of either triangle is inside the other
+    (half-open even-odd, same arithmetic as the PIP kernel replay)."""
+    lv = ", ".join(
+        [f"a as ly1, b as lx1"]
+        + [f"a + {repr(_OVL_L_DY[i])} as ly{i + 2}, b + {repr(_OVL_L_DX[i])} as lx{i + 2}" for i in range(2)]
+    )
+    rv = ", ".join(
+        [f"a as ry1, b as rx1"]
+        + [f"a + {repr(_OVL_R_DY[i])} as ry{i + 2}, b + {repr(_OVL_R_DX[i])} as rx{i + 2}" for i in range(2)]
+    )
+
+    def orient(ax, ay, bx, by, px, py):
+        # exact parenthesization of overlay._orient
+        return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+
+    edges = [(1, 2), (2, 3), (3, 1)]
+    cross_terms = []
+    for i, j in edges:
+        for k, m in edges:
+            d1 = orient(f"lx{i}", f"ly{i}", f"lx{j}", f"ly{j}", f"rx{k}", f"ry{k}")
+            d2 = orient(f"lx{i}", f"ly{i}", f"lx{j}", f"ly{j}", f"rx{m}", f"ry{m}")
+            d3 = orient(f"rx{k}", f"ry{k}", f"rx{m}", f"ry{m}", f"lx{i}", f"ly{i}")
+            d4 = orient(f"rx{k}", f"ry{k}", f"rx{m}", f"ry{m}", f"lx{j}", f"ly{j}")
+            cross_terms.append(f"({d1} * {d2} < 0 and {d3} * {d4} < 0)")
+
+    def inside(px, py, pre):
+        hits = []
+        for i, j in edges:
+            y1, y2 = f"{pre}y{i}", f"{pre}y{j}"
+            x1, x2 = f"{pre}x{i}", f"{pre}x{j}"
+            hits.append(
+                f"(case when (({y1} > {py}) != ({y2} > {py})) "
+                f"and {px} < {x1} + ({py} - {y1})/({y2} - {y1})*({x2} - {x1}) then 1 else 0 end)"
+            )
+        return "(" + " + ".join(hits) + ") % 2 = 1"
+
+    pred = (
+        "(" + " or ".join(cross_terms) + ")"
+        f" or ({inside('lx1', 'ly1', 'r')}) or ({inside('rx1', 'ry1', 'l')})"
+    )
+    return (
+        f"with lt as ({_OVL_L_SQL}), lv as (select lid, {lv} from lt), "
+        f"rt as ({_OVL_R_SQL}), rv as (select rid, {rv} from rt) "
+        f"select lid, rid from lv, rv where {pred}"
+    )
+
+
 def _label_pipeline_oracle_sql() -> str:
     """DuckDB replica of the FULL flagship pipeline over the staged synth
     corpus (see osmgraft/plans/sql_oracle.py for the derivation notes)."""
@@ -1648,6 +1719,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = interval_join(pts, iv, key="user_id", bucket_s=600.0, max_span_buckets=16)
         return out.select("event_id", "user_id", "ts", "iv_id_iv")
 
+    # --- overlay: polygon x polygon intersects join ---------------------------------
+    def q_poly_overlap_rects(spark, sf):
+        # nation rects (~8x12 deg) exceed max_cover_cells at res 5 and take
+        # the broadcast rail; customer rects stay cell-covered — the oracle
+        # (strict bbox overlap, exact for axis-aligned rects) checks the
+        # rail end-to-end.
+        from osmgraft.operators.overlay import poly_intersects_join
+
+        c = _read(spark, sf, "customer")
+        k = F.col("c_custkey").cast("long")
+        la = (k % 120).cast("double") * 0.55 - 33.13579
+        lo = (k * 37 % 320).cast("double") * 0.9 - 144.24683
+        left = c.select(
+            k.alias("lid"),
+            F.array(la, la, la + 0.9876, la + 0.9876).alias("ring_lats"),
+            F.array(lo, lo + 1.2345, lo + 1.2345, lo).alias("ring_lons"),
+        )
+        n = _read(spark, sf, "nation")
+        m = F.col("n_nationkey").cast("long")
+        ra = (m % 9).cast("double") * 9.0 - 40.5678
+        ro = (m * 29 % 300).cast("double") - 150.5678
+        right = n.select(
+            m.alias("rid"),
+            F.array(ra, ra, ra + 8.1234, ra + 8.1234).alias("ring_lats"),
+            F.array(ro, ro + 12.1234, ro + 12.1234, ro).alias("ring_lons"),
+        )
+        return poly_intersects_join(left, right, "lid", "rid", res=5, max_cover_cells=256)
+
+    def q_poly_overlap_tris(spark, sf):
+        # both triangle sets stay under the covering budget -> the shared-
+        # cell equi-join path; the oracle replays the exact segment-
+        # crossing + even-odd containment kernel in SQL.
+        from osmgraft.operators.overlay import poly_intersects_join
+
+        c = _read(spark, sf, "customer")
+        k = F.col("c_custkey").cast("long")
+        a = (k % 120).cast("double") * 0.55 - 33.13579
+        b = (k * 37 % 320).cast("double") * 0.9 - 144.24683
+        left = c.select(
+            k.alias("lid"),
+            F.array(a, a + _OVL_L_DY[0], a + _OVL_L_DY[1]).alias("ring_lats"),
+            F.array(b, b + _OVL_L_DX[0], b + _OVL_L_DX[1]).alias("ring_lons"),
+        )
+        n = _read(spark, sf, "nation")
+        m = F.col("n_nationkey").cast("long")
+        ra = (m % 9).cast("double") * 9.0 - 36.78913
+        rb = (m * 29 % 300).cast("double") - 150.56789
+        right = n.select(
+            m.alias("rid"),
+            F.array(ra, ra + _OVL_R_DY[0], ra + _OVL_R_DY[1]).alias("ring_lats"),
+            F.array(rb, rb + _OVL_R_DX[0], rb + _OVL_R_DX[1]).alias("ring_lons"),
+        )
+        return poly_intersects_join(left, right, "lid", "rid", res=5, max_cover_cells=2048)
+
     # --- layout: Morton-range-accelerated exact box query --------------------------
     def q_zorder_box(spark, sf):
         from osmgraft.operators.layout import box_query
@@ -1673,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_radius_pairs": q_knn_pairs,
         "pip_rectangles": q_pip_boxes,
         "pip_triangles": q_pip_triangles,
+        "poly_overlap_rects": q_poly_overlap_rects,
+        "poly_overlap_tris": q_poly_overlap_tris,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
         "tile_topk": q_tile_topk,
@@ -1890,6 +2017,20 @@ def oracle_sql() -> dict[str, str]:
             "where p.lat > la and p.lat < la + 8.1234 and p.lon > lo and p.lon < lo + 12.1234"
         ),
         "pip_triangles": _pip_triangles_sql(),
+        # axis-aligned rects: interiors intersect iff bboxes STRICTLY
+        # overlap — exact for the rail path the nation rects take
+        "poly_overlap_rects": (
+            "with l as (select cast(c_custkey as bigint) as lid, "
+            "(c_custkey % 120) * 0.55 - 33.13579 as la, "
+            "(c_custkey * 37 % 320) * 0.9 - 144.24683 as lo from customer), "
+            "r as (select cast(n_nationkey as bigint) as rid, "
+            "(n_nationkey % 9) * 9.0 - 40.5678 as ra, "
+            "(n_nationkey * 29 % 300) - 150.5678 as ro from nation) "
+            "select lid, rid from l, r "
+            "where la < ra + 8.1234 and ra < la + 0.9876 "
+            "and lo < ro + 12.1234 and ro < lo + 1.2345"
+        ),
+        "poly_overlap_tris": _poly_overlap_tris_sql(),
         "tile_topk": (
             f"with t as (select pid as osm_id, "
             f"least(cast(floor((lon+180.0)/360.0*256) as bigint), 255) as tile_x, "
