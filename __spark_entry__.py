@@ -607,6 +607,41 @@ def _poly_overlap_tris_sql() -> str:
     )
 
 
+def _snap_oracle_sql() -> str:
+    """Brute-force SQL replay of the snap join: the operator's exact
+    point-to-segment distance (same parenthesization, same clamp, same
+    cos(lat) equirectangular scaling), nearest per point via (dist2, sid)
+    ordering, with the radius and meters-per-degree constants embedded as
+    the driver-side Python doubles the Spark plan uses."""
+    from osmgraft.operators.knn import DEG_M
+
+    radius_deg2 = (250_000.0 / DEG_M) ** 2
+    seg = (
+        "select cast(s_suppkey as bigint) as sid, "
+        "(s_suppkey % 110) * 0.5 - 27.123 as y1, "
+        "(s_suppkey * 53 % 340) - 170.456 as x1, "
+        "(s_suppkey % 110) * 0.5 - 27.123 + ((s_suppkey % 7) - 3) * 0.8 + 0.123 as y2, "
+        "(s_suppkey * 53 % 340) - 170.456 + ((s_suppkey % 11) - 5) * 0.6 + 0.234 as x2 "
+        "from supplier"
+    )
+    return (
+        f"with p as ({_PTS_SQL}), s as ({seg}), "
+        "c as (select pid, sid, "
+        "(x1 - lon) * cos(radians(lat)) as xa, y1 - lat as ya, "
+        "(x2 - lon) * cos(radians(lat)) as xb, y2 - lat as yb from p, s), "
+        "d as (select pid, sid, xa, ya, xb - xa as dx, yb - ya as dy from c), "
+        "e as (select pid, sid, xa, ya, dx, dy, dx*dx + dy*dy as len2 from d), "
+        "f as (select pid, sid, "
+        "xa + (case when len2 > 0 then greatest(0.0, least(1.0, -(xa*dx + ya*dy)/len2)) else 0.0 end) * dx as ex, "
+        "ya + (case when len2 > 0 then greatest(0.0, least(1.0, -(xa*dx + ya*dy)/len2)) else 0.0 end) * dy as ey "
+        "from e), "
+        "g as (select pid, sid, ex*ex + ey*ey as d2 from f) "
+        f"select pid, sid, sqrt(d2) * {DEG_M!r} as dist_m from g "
+        f"where d2 <= {radius_deg2!r} "
+        "qualify row_number() over (partition by pid order by d2, sid) = 1"
+    )
+
+
 def _label_pipeline_oracle_sql() -> str:
     """DuckDB replica of the FULL flagship pipeline over the staged synth
     corpus (see osmgraft/plans/sql_oracle.py for the derivation notes)."""
@@ -1773,6 +1808,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return poly_intersects_join(left, right, "lid", "rid", res=5, max_cover_cells=2048)
 
+    # --- snap: nearest-segment join (map-matching candidate stage) ------------------
+    def q_snap(spark, sf):
+        from osmgraft.operators.snap import snap_join
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        s = _read(spark, sf, "supplier")
+        k = F.col("s_suppkey").cast("long")
+        y1 = (k % 110).cast("double") * 0.5 - 27.123
+        x1 = (k * 53 % 340).cast("double") - 170.456
+        y2 = y1 + ((k % 7).cast("double") - 3) * 0.8 + 0.123
+        x2 = x1 + ((k % 11).cast("double") - 5) * 0.6 + 0.234
+        segs = s.select(
+            k.alias("sid"),
+            y1.alias("lat1"),
+            x1.alias("lon1"),
+            y2.alias("lat2"),
+            x2.alias("lon2"),
+        )
+        # _pts latitudes stay within +-60, so min_cos_lat=0.45 (|lat| <=
+        # 63.2) keeps the disk guarantee while using res-2 cells
+        return snap_join(pts, segs, 250_000.0, min_cos_lat=0.45)
+
     # --- layout: Morton-range-accelerated exact box query --------------------------
     def q_zorder_box(spark, sf):
         from osmgraft.operators.layout import box_query
@@ -1800,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_triangles": q_pip_triangles,
         "poly_overlap_rects": q_poly_overlap_rects,
         "poly_overlap_tris": q_poly_overlap_tris,
+        "snap_points_ways": q_snap,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
         "tile_topk": q_tile_topk,
@@ -2031,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
             "and lo < ro + 12.1234 and ro < lo + 1.2345"
         ),
         "poly_overlap_tris": _poly_overlap_tris_sql(),
+        "snap_points_ways": _snap_oracle_sql(),
         "tile_topk": (
             f"with t as (select pid as osm_id, "
             f"least(cast(floor((lon+180.0)/360.0*256) as bigint), 255) as tile_x, "
