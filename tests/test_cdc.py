@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.cdc import apply_changelog
+
+
+def _state(rows):
+    return {r.id: (r.val, r.tag) for r in rows}
+
+
+def test_apply_changelog_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "id long, val double, tag string",
+    )
+    chg = spark.createDataFrame(
+        [
+            # key 1: update then delete -> absent
+            (1, 11.0, "a1", 5, "U"),
+            (1, None, None, 9, "D"),
+            # key 2: delete then re-insert -> latest wins
+            (2, None, None, 3, "D"),
+            (2, 22.0, "b2", 7, "U"),
+            # key 3: two updates -> highest seq wins
+            (3, 31.0, "c1", 2, "U"),
+            (3, 33.0, "c3", 8, "U"),
+            # key 5: brand-new key inserted by the changelog
+            (5, 55.0, "e", 1, "U"),
+        ],
+        "id long, val double, tag string, seq long, op string",
+    )
+    got = _state(apply_changelog(snap, chg, key="id").collect())
+    assert got == {
+        2: (22.0, "b2"),
+        3: (33.0, "c3"),
+        4: (40.0, "d"),  # untouched snapshot row survives
+        5: (55.0, "e"),
+    }
+
+
+def test_apply_changelog_partitioning_invariant(spark):
+    snap = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 1.5).alias("val"), F.lit("s").alias("tag")
+    )
+    chg = spark.range(0, 500).select(
+        (F.col("id") % 130).alias("id"),
+        (F.col("id") * 2.0).alias("val"),
+        F.lit("c").alias("tag"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 7 == 0, "D").otherwise("U").alias("op"),
+    )
+    a = _state(apply_changelog(snap, chg).collect())
+    b = _state(apply_changelog(snap.repartition(13), chg.repartition(3)).collect())
+    assert a == b and len(a) > 100
+
+
+def test_apply_changelog_bad_op_raises(spark):
+    snap = spark.createDataFrame([(1, 1.0, "x")], "id long, val double, tag string")
+    chg = spark.createDataFrame([(1, 2.0, "y", 1, "X")], "id long, val double, tag string, seq long, op string")
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changelog(snap, chg).collect()
+
+
+def test_apply_changelog_missing_payload_col_raises(spark):
+    snap = spark.createDataFrame([(1, 1.0)], "id long, val double")
+    chg = spark.createDataFrame([(1, 1, "U")], "id long, seq long, op string")
+    with pytest.raises(ValueError, match="lacks snapshot columns"):
+        apply_changelog(snap, chg)
