@@ -1830,6 +1830,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 63.2) keeps the disk guarantee while using res-2 cells
         return snap_join(pts, segs, 250_000.0, min_cos_lat=0.45)
 
+    # --- cdc: one-shuffle changelog fold into a snapshot -----------------------------
+    def q_cdc(spark, sf):
+        from osmgraft.operators.cdc import apply_changelog
+
+        c = _read(spark, sf, "customer")
+        snap = c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        o = _read(spark, sf, "orders")
+        chg = o.select(
+            F.col("o_custkey").alias("id"),
+            F.col("o_totalprice").alias("bal"),
+            (F.col("o_orderkey") % 25).cast("long").alias("nat"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        )
+        return apply_changelog(snap, chg, key="id")
+
+    # --- layout: geohash string key -------------------------------------------------
+    def q_geohash(spark, sf):
+        from osmgraft.operators.layout import geohash
+
+        pts = _pts(spark, sf)
+        return pts.select("pid", geohash(F.col("lat"), F.col("lon"), 7).alias("gh"))
+
     # --- layout: Morton-range-accelerated exact box query --------------------------
     def q_zorder_box(spark, sf):
         from osmgraft.operators.layout import box_query
@@ -1858,6 +1885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_overlap_rects": q_poly_overlap_rects,
         "poly_overlap_tris": q_poly_overlap_tris,
         "snap_points_ways": q_snap,
+        "cdc_upsert": q_cdc,
+        "geohash_cells": q_geohash,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
         "tile_topk": q_tile_topk,
@@ -1934,7 +1963,7 @@ def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
     from osmgraft.operators.curation import weighted_sample_oracle_sql
     from osmgraft.operators.geom import polyline_length_oracle_sql, ring_area_oracle_sql
-    from osmgraft.operators.layout import zorder_oracle_sql
+    from osmgraft.operators.layout import geohash_oracle_sql, zorder_oracle_sql
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
         cms_oracle_sql,
@@ -2090,6 +2119,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "poly_overlap_tris": _poly_overlap_tris_sql(),
         "snap_points_ways": _snap_oracle_sql(),
+        # union-tag fold replay: snapshot enters at seq -1, latest change
+        # per key wins, delete-latest keys drop
+        "cdc_upsert": (
+            "with s as (select c_custkey as id, c_acctbal as bal, "
+            "cast(c_nationkey as bigint) as nat, cast(-1 as bigint) as _seq, 'U' as _op from customer), "
+            "c as (select o_custkey as id, o_totalprice as bal, "
+            "cast(o_orderkey % 25 as bigint) as nat, o_orderkey as _seq, "
+            "case when o_orderkey % 10 = 0 then 'D' else 'U' end as _op from orders), "
+            "u as (select * from s union all select * from c), "
+            "r as (select *, row_number() over (partition by id order by _seq desc) as rn from u) "
+            "select id, bal, nat from r where rn = 1 and _op <> 'D'"
+        ),
         "tile_topk": (
             f"with t as (select pid as osm_id, "
             f"least(cast(floor((lon+180.0)/360.0*256) as bigint), 255) as tile_x, "
@@ -2683,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         # Morton key: same quantization + same spread masks; bigint bit
         # ops evaluate identically in both engines
         "zorder_keys": zorder_oracle_sql(_PTS_SQL, bits=16),
+        "geohash_cells": geohash_oracle_sql(_PTS_SQL, precision=7),
         # per-level DIRECT aggregation (no rollup) — equality with the
         # engine's cached single-scan rollup proves the parent identity
         "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),

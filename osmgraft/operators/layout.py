@@ -269,3 +269,88 @@ def pruned_fraction(stats: list[tuple], lo: int, hi: int) -> float:
         raise ValueError("no files")
     hit = sum(1 for _, mn, mx in stats if not (mx < lo or mn > hi))
     return 1.0 - hit / len(stats)
+
+
+# ---------------------------------------------------------------------------
+# Geohash: the third standard spatial index key (beside the S2/hex cell ids
+# and the Morton zkey) — a base-32 STRING whose prefix relation encodes
+# containment, which is what makes it the common join/partition key for
+# interop with external geo datasets. Pure Catalyst: the bit interleave
+# reuses the Morton spread above, the base-32 mapping is a fixed chain of
+# substring lookups — whole-stage codegen, DuckDB-replayable bit-for-bit.
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_bits(precision: int) -> tuple[int, int, int]:
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    total = 5 * precision
+    lonbits = (total + 1) // 2  # lon leads the interleave
+    return total, lonbits, total - lonbits
+
+
+def geohash(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Standard geohash string of (lat, lon) at ``precision`` chars.
+
+    Equivalent to the textbook bisection: after its lon/lat halvings the
+    bit strings ARE the binary of the quantized grid coords, so the hash
+    is interleave(gx, gy) split into 5-bit base-32 groups. gx uses
+    ceil(5p/2) bits (lon takes the first bit), gy the rest."""
+    total, lonbits, latbits = _gh_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+    clampx = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(nx - 1)).cast("long")  # noqa: E731
+    clampy = lambda c: F.least(F.greatest(c, F.lit(0)), F.lit(ny - 1)).cast("long")  # noqa: E731
+    gx = clampx(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx))))
+    gy = clampy(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny))))
+    # even total: lon bits land at odd LSB positions; odd total: even
+    if total % 2 == 0:
+        key = F.shiftleft(_part1by1(gx), 1).bitwiseOR(_part1by1(gy))
+    else:
+        key = _part1by1(gx).bitwiseOR(F.shiftleft(_part1by1(gy), 1))
+    chars = [
+        F.substring(
+            F.lit(_GH32),
+            (F.shiftrightunsigned(key, 5 * (precision - 1 - g)).bitwiseAND(F.lit(31)) + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for g in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_oracle_sql(pts_sql: str, precision: int = 7) -> str:
+    """DuckDB replica of :func:`geohash` over ``pts_sql`` (columns
+    ``pid, lat, lon``) — same quantization, same spread masks, same
+    base-32 substring chain."""
+    total, lonbits, latbits = _gh_bits(precision)
+    nx, ny = 1 << lonbits, 1 << latbits
+
+    def spread(expr: str) -> str:
+        for shift, mask in _SPREAD:
+            expr = f"(({expr}) | (({expr}) << {shift})) & {mask}"
+        return expr
+
+    gx = (
+        f"cast(least(greatest(floor((lon + 180.0) / 360.0 * {float(nx)!r}), 0), "
+        f"{nx - 1}) as bigint)"
+    )
+    gy = (
+        f"cast(least(greatest(floor((lat + 90.0) / 180.0 * {float(ny)!r}), 0), "
+        f"{ny - 1}) as bigint)"
+    )
+    if total % 2 == 0:
+        key = f"(({spread('gx')}) << 1) | ({spread('gy')})"
+    else:
+        key = f"({spread('gx')}) | (({spread('gy')}) << 1)"
+    chars = " || ".join(
+        f"substr('{_GH32}', cast(((gh_key >> {5 * (precision - 1 - g)}) & 31) + 1 as int), 1)"
+        for g in range(precision)
+    )
+    return (
+        f"with gh_g as (select pid, {gx} as gx, {gy} as gy from ({pts_sql})), "
+        f"gh_k as (select pid, {key} as gh_key from gh_g) "
+        f"select pid, {chars} as gh from gh_k"
+    )
