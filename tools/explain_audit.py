@@ -621,6 +621,81 @@ def main() -> None:
         ("grouped histogram quantiles — per-group windows, no one-task stage", p32, notes32)
     )
 
+    # 33. polygon-polygon intersects join — path A is ONE cell equi-join
+    # with the bbox prefilter codegen-side before the pair-dedup shuffle;
+    # the only nested loops are the two broadcast big-polygon rails.
+    q33 = entry_mod.queries()["poly_overlap_rects"](spark, SF)
+    p33 = plan_of(q33)
+    _bnlj_ok = (
+        len(re.findall(r"[(]\d+[)] BroadcastNestedLoopJoin", p33)) == 2
+        and len(re.findall(r"BroadcastNestedLoopJoin Inner Build(?:Left|Right)", p33)) == 2
+    )
+    notes33 = [
+        f"cell candidates via an equi-join node (hash family; broadcast at "
+        f"this SF by AQE, shuffle equi-join at scale): "
+        f"{bool(re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)', p33))}",
+        f"pair-dedup shuffle keyed on the pair: "
+        f"{'hashpartitioning(_lid' in p33}",
+        f"exactly two BNLJ nodes, both broadcast big-polygon rails: {_bnlj_ok}",
+        f"no cartesian: {'CartesianProduct' not in p33}",
+        f"Python confined to covering + exact kernel (Arrow passes only): "
+        f"{'BatchEvalPython' not in p33 and len(re.findall(_ARROW_OP_RE, p33, re.M)) >= 1}",
+    ]
+    sections.append(
+        ("polygon-polygon intersects — cell equi-join + broadcast big rails", p33, notes33)
+    )
+
+    # 34. snap join — segments covered once (one Arrow pass), points probe
+    # disk(k) in pure Catalyst, ONE cell equi-join, and the nearest pick is
+    # an algebraic min(struct) with map-side partial aggregation — no
+    # pair-dedup exchange anywhere.
+    q34 = entry_mod.queries()["snap_points_ways"](spark, SF)
+    p34 = plan_of(q34)
+    _snap_join_ok = (
+        len(re.findall(r"[(]\d+[)] (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p34))
+        == 1
+    )
+    notes34 = [
+        f"one cell equi-join node: {_snap_join_ok}",
+        f"nearest pick partially aggregated map-side: {'partial_min' in p34}",
+        f"exact distance + disk probe pure Catalyst — Python is exactly two "
+        f"narrow Arrow passes (segment covering, point cell-encode): "
+        f"{len(re.findall(_ARROW_OP_RE, p34, re.M)) == 2 and 'BatchEvalPython' not in p34}",
+        f"no pair-dedup exchange (min absorbs duplicate candidates): "
+        f"{'hashpartitioning(pid, sid' not in p34}",
+        f"no cartesian/BNLJ: {'Cartesian' not in p34 and 'BroadcastNestedLoopJoin' not in p34}",
+    ]
+    sections.append(
+        ("snap join — one cell equi-join, min(struct) nearest, no pair dedup", p34, notes34)
+    )
+
+    # 35. CDC changelog apply — union-tag fold: ONE hash exchange total,
+    # zero join nodes, algebraic max(struct) with map-side partials.
+    q35 = entry_mod.queries()["cdc_upsert"](spark, SF)
+    p35 = plan_of(q35)
+    notes35 = [
+        f"exactly one wide exchange (the key fold): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p35)) == 1}",
+        f"zero join nodes (union-tag, not join): "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p35)}",
+        f"fold partially aggregated map-side: {'partial_max' in p35}",
+        f"pure Catalyst (no Python): {'Python' not in p35}",
+    ]
+    sections.append(
+        ("CDC changelog apply — one-shuffle union-tag fold, zero joins", p35, notes35)
+    )
+
+    # 36. geohash key — pure codegen bit interleave + base-32 substring
+    # chain: zero exchange, zero Python, one narrow projection.
+    q36 = entry_mod.queries()["geohash_cells"](spark, SF)
+    p36 = plan_of(q36)
+    notes36 = [
+        f"zero exchanges: {'Exchange' not in p36}",
+        f"pure Catalyst (no Python): {'Python' not in p36}",
+        f"whole-stage codegen: {'codegen id' in p36}",
+    ]
+    sections.append(("geohash key — pure codegen, zero shuffle", p36, notes36))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
