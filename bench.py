@@ -385,6 +385,32 @@ def main() -> None:
 
         return queries()["asof_join_events"](spark, SF_DIR).count()
 
+    def _entry(name):
+        # the entry-registry queries are the exact code the correctness
+        # oracle runs; timing them at SF_DIR makes the bench row and the
+        # oracled semantics one and the same object
+        from __spark_entry__ import queries
+
+        return queries()[name](spark, SF_DIR).count()
+
+    def q_poly_overlap():
+        return _entry("poly_overlap_tris")
+
+    def q_snap():
+        return _entry("snap_points_ways")
+
+    def q_cdc():
+        return _entry("cdc_upsert")
+
+    def q_weighted_sample():
+        return _entry("weighted_sample_docs")
+
+    def q_hist_quantiles_by():
+        return _entry("hist_quantiles_by_lang")
+
+    def q_geohash():
+        return _entry("geohash_cells")
+
     def q_tile_pyramid():
         from osmgraft.operators.tiles import tile_pyramid
 
@@ -444,6 +470,12 @@ def main() -> None:
         ("dup_spans_5gram", q_dup_spans),
         ("tile_pyramid_z12_6", q_tile_pyramid),
         ("asof_join_events", q_asof),
+        ("poly_overlap_tris", q_poly_overlap),
+        ("snap_points_ways", q_snap),
+        ("cdc_upsert", q_cdc),
+        ("weighted_sample_docs", q_weighted_sample),
+        ("hist_quantiles_by_lang", q_hist_quantiles_by),
+        ("geohash_cells", q_geohash),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),
