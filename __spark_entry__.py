@@ -609,8 +609,9 @@ def _poly_overlap_tris_sql() -> str:
 
 def _snap_oracle_sql() -> str:
     """Brute-force SQL replay of the snap join: the operator's exact
-    point-to-segment distance (same parenthesization, same clamp, same
-    cos(lat) equirectangular scaling), nearest per point via (dist2, sid)
+    point-to-segment distance (same parenthesization, same three-case
+    endpoint/endpoint/perpendicular branch, same cos(lat)
+    equirectangular scaling), nearest per point via (dist2, sid)
     ordering, with the radius and meters-per-degree constants embedded as
     the driver-side Python doubles the Spark plan uses."""
     from osmgraft.operators.knn import DEG_M
@@ -629,13 +630,13 @@ def _snap_oracle_sql() -> str:
         "c as (select pid, sid, "
         "(x1 - lon) * cos(radians(lat)) as xa, y1 - lat as ya, "
         "(x2 - lon) * cos(radians(lat)) as xb, y2 - lat as yb from p, s), "
-        "d as (select pid, sid, xa, ya, xb - xa as dx, yb - ya as dy from c), "
-        "e as (select pid, sid, xa, ya, dx, dy, dx*dx + dy*dy as len2 from d), "
-        "f as (select pid, sid, "
-        "xa + (case when len2 > 0 then greatest(0.0, least(1.0, -(xa*dx + ya*dy)/len2)) else 0.0 end) * dx as ex, "
-        "ya + (case when len2 > 0 then greatest(0.0, least(1.0, -(xa*dx + ya*dy)/len2)) else 0.0 end) * dy as ey "
-        "from e), "
-        "g as (select pid, sid, ex*ex + ey*ey as d2 from f) "
+        "d as (select pid, sid, xa, ya, xb, yb, xb - xa as dx, yb - ya as dy from c), "
+        "e as (select pid, sid, xa, ya, xb, yb, dx, dy, "
+        "dx*dx + dy*dy as len2, -(xa*dx + ya*dy) as u from d), "
+        "g as (select pid, sid, case "
+        "when u <= 0 then xa*xa + ya*ya "
+        "when u >= len2 then xb*xb + yb*yb "
+        "else greatest(0.0, xa*xa + ya*ya - u*u/len2) end as d2 from e) "
         f"select pid, sid, sqrt(d2) * {DEG_M!r} as dist_m from g "
         f"where d2 <= {radius_deg2!r} "
         "qualify row_number() over (partition by pid order by d2, sid) = 1"

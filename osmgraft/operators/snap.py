@@ -58,9 +58,20 @@ def point_segment_dist2(
 ) -> Column:
     """Squared point-to-segment distance in squared degrees, pure
     Catalyst: the segment is projected into the point's local
-    equirectangular frame (lon scaled by cos(lat)), the point's
-    projection parameter is clamped to [0, 1], and the residual squared.
-    The SQL oracle replays the identical parenthesization."""
+    equirectangular frame (lon scaled by cos(lat)) and the classic
+    three-case form picks endpoint A, endpoint B, or the perpendicular
+    residual |a|^2 - u^2/len2. The branch form matters for the PLAN, not
+    just style: the clamped-parameter form ``(a + tt*d)^2`` inlines the
+    ``tt`` CASE expression eight times once Catalyst pushes the radius
+    predicate into the join condition, blowing the codegen method limit
+    and dropping the join to interpreted evaluation (~10x slower); the
+    branch form keeps every subterm at most twice. The SQL oracle
+    replays the identical parenthesization.
+
+    ``len2 == 0`` (degenerate segment) lands in the first branch
+    (``u = -0.0 <= 0``), so the division is guarded; the perpendicular
+    branch clamps at 0 so roundoff on on-segment points can't produce a
+    negative d2 (and NaN after sqrt)."""
     c = F.cos(F.radians(py))
     ax = (x1 - px) * c
     ay = y1 - py
@@ -69,12 +80,12 @@ def point_segment_dist2(
     dx = bx - ax
     dy = by - ay
     len2 = dx * dx + dy * dy
-    tt = F.when(
-        len2 > 0, F.greatest(F.lit(0.0), F.least(F.lit(1.0), -(ax * dx + ay * dy) / len2))
-    ).otherwise(F.lit(0.0))
-    ex = ax + tt * dx
-    ey = ay + tt * dy
-    return ex * ex + ey * ey
+    u = -(ax * dx + ay * dy)
+    return (
+        F.when(u <= 0, ax * ax + ay * ay)
+        .when(u >= len2, bx * bx + by * by)
+        .otherwise(F.greatest(F.lit(0.0), ax * ax + ay * ay - u * u / len2))
+    )
 
 
 def _seg_cells_udf(res: int):
