@@ -68,32 +68,59 @@ def cover_estimate(rl: np.ndarray, rg: np.ndarray, res: int) -> float:
     return perimeter / rin + area / (2.598 * size * size) + 4.0
 
 
-def _cover_or_big_udf(res: int, max_cover_cells: int):
-    """(ring_lats, ring_lons) -> struct<cells:array<long>, big:boolean>.
+def _big_flag_udf(res: int, max_cover_cells: int):
+    """(ring_lats, ring_lons) -> boolean: covering-size routing decision
+    ONLY. Split from the rasterization on purpose: the flag filters both
+    the small and the big branch of each side, so Spark evaluates it once
+    per branch — a few numpy ops per polygon, cheap to recompute — while
+    the expensive ring rasterization (:func:`_cover_cells_udf`) appears
+    only in the small-path cell explode and therefore runs exactly once
+    per polygon, with no persist/checkpoint needed to avoid recompute."""
 
-    One kernel pass decides routing AND produces the covering: polygons
-    whose estimated covering exceeds ``max_cover_cells`` return
-    (empty, big=true) and skip the rasterization entirely."""
+    @F.pandas_udf("boolean")
+    def _big(rlats: pd.Series, rlons: pd.Series) -> pd.Series:
+        out = np.zeros(len(rlats), dtype=bool)
+        for i, (rl, rg) in enumerate(zip(rlats, rlons)):
+            if len(rl) >= 3:
+                rl = np.asarray(rl, dtype=np.float64)
+                rg = np.asarray(rg, dtype=np.float64)
+                out[i] = cover_estimate(rl, rg, res) > max_cover_cells
+        return pd.Series(out)
 
-    @F.pandas_udf("struct<cells:array<long>, big:boolean>")
-    def _cover(rlats: pd.Series, rlons: pd.Series) -> pd.DataFrame:
-        cells, bigs = [], []
+    return _big
+
+
+def _cover_cells_udf(res: int):
+    """(ring_lats, ring_lons) -> array<long> exact covering at ``res``
+    (boundary edge-sampling + disk(1) + scanline interior, pip._cover_one).
+    Callers must route oversized polygons away first (:func:`_big_flag_udf`)
+    — this kernel rasterizes unconditionally."""
+
+    @F.pandas_udf("array<long>")
+    def _cover(rlats: pd.Series, rlons: pd.Series) -> pd.Series:
+        cells = []
         for rl, rg in zip(rlats, rlons):
             rl = np.asarray(rl, dtype=np.float64)
             rg = np.asarray(rg, dtype=np.float64)
             if len(rl) < 3:
                 cells.append(np.empty(0, dtype=np.int64))
-                bigs.append(False)
-                continue
-            if cover_estimate(rl, rg, res) > max_cover_cells:
-                cells.append(np.empty(0, dtype=np.int64))
-                bigs.append(True)
             else:
                 cells.append(_cover_one(rl, rg, [res], float("inf")))
-                bigs.append(False)
-        return pd.DataFrame({"cells": cells, "big": bigs})
+        return pd.Series(cells)
 
     return _cover
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer partitions — a single small parquet file otherwise
+    pins the per-polygon covering kernel onto ONE core. At deployment
+    scale the input is already thousands of partitions and this is a
+    no-op (no shuffle added); the check reads only plan metadata."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _orient(ax, ay, bx, by, px, py):
@@ -182,32 +209,42 @@ def poly_intersects_join(
     ``res`` is the shared covering resolution; ``max_cover_cells`` routes
     polygons whose covering would exceed it to the broadcast rail (see
     module docstring). Physical plan: one cell equi-join + one pair-dedup
-    shuffle + a BNL join bounded by the (few) oversized polygons.
+    shuffle + a BNL join bounded by the (few) oversized polygons. The
+    routing flag is a cheap estimate UDF (recomputed per branch, a few
+    numpy ops per polygon); the expensive ring rasterization appears only
+    in the small-path explode, so it runs exactly once per polygon.
     """
-    cover = _cover_or_big_udf(res, max_cover_cells)
+    big = _big_flag_udf(res, max_cover_cells)
+    cover = _cover_cells_udf(res)
     hit = _intersects_udf()
 
-    lpoly = _with_bbox(
-        left.select(
-            F.col(left_id).alias("_lid"),
-            F.col("ring_lats").alias("_lring_lats"),
-            F.col("ring_lons").alias("_lring_lons"),
+    lbase = _with_bbox(
+        _spread(
+            left.select(
+                F.col(left_id).alias("_lid"),
+                F.col("ring_lats").alias("_lring_lats"),
+                F.col("ring_lons").alias("_lring_lons"),
+            )
         ),
         "_l",
-    ).withColumn("_lcov", cover("_lring_lats", "_lring_lons"))
-    rpoly = _with_bbox(
-        right.select(
-            F.col(right_id).alias("_rid"),
-            F.col("ring_lats").alias("_rring_lats"),
-            F.col("ring_lons").alias("_rring_lons"),
+    )
+    rbase = _with_bbox(
+        _spread(
+            right.select(
+                F.col(right_id).alias("_rid"),
+                F.col("ring_lats").alias("_rring_lats"),
+                F.col("ring_lons").alias("_rring_lons"),
+            )
         ),
         "_r",
-    ).withColumn("_rcov", cover("_rring_lats", "_rring_lons"))
+    )
+    lpoly = lbase.withColumn("_lbig", big("_lring_lats", "_lring_lons"))
+    rpoly = rbase.withColumn("_rbig", big("_rring_lats", "_rring_lons"))
 
-    l_small = lpoly.where(~F.col("_lcov.big"))
-    l_big = lpoly.where(F.col("_lcov.big")).drop("_lcov")
-    r_small = rpoly.where(~F.col("_rcov.big"))
-    r_big = rpoly.where(F.col("_rcov.big")).drop("_rcov")
+    l_small = lpoly.where(~F.col("_lbig")).drop("_lbig")
+    l_big = lpoly.where(F.col("_lbig")).drop("_lbig")
+    r_small = rpoly.where(~F.col("_rbig")).drop("_rbig")
+    r_big = rpoly.where(F.col("_rbig")).drop("_rbig")
 
     exact = hit("_lring_lats", "_lring_lons", "_rring_lats", "_rring_lons")
     pair_cols = [F.col("_lid").alias(left_id), F.col("_rid").alias(right_id)]
@@ -215,8 +252,8 @@ def poly_intersects_join(
     # path A: small x small through the shared-cell equi-join. bbox
     # prefilter runs codegen-side BEFORE the pair-dedup shuffle; the
     # exact kernel runs once per surviving distinct pair.
-    lc = l_small.withColumn("_cell", F.explode("_lcov.cells")).drop("_lcov")
-    rc = r_small.withColumn("_cell", F.explode("_rcov.cells")).drop("_rcov")
+    lc = l_small.withColumn("_cell", F.explode(cover("_lring_lats", "_lring_lons")))
+    rc = r_small.withColumn("_cell", F.explode(cover("_rring_lats", "_rring_lons")))
     cand = (
         lc.join(rc, "_cell")
         .where(_bbox_overlap("_l", "_r"))
@@ -227,15 +264,14 @@ def poly_intersects_join(
     # path B: oversized left polygons broadcast against ALL right rows.
     pairs_b = (
         F.broadcast(l_big)
-        .join(rpoly.drop("_rcov"), _bbox_overlap("_l", "_r"))
+        .join(rbase, _bbox_overlap("_l", "_r"))
         .where(exact)
         .select(*pair_cols)
     )
     # path C: oversized right polygons broadcast against small-left only
     # (big-left x big-right pairs already live in path B).
     pairs_c = (
-        l_small.drop("_lcov")
-        .join(F.broadcast(r_big), _bbox_overlap("_l", "_r"))
+        l_small.join(F.broadcast(r_big), _bbox_overlap("_l", "_r"))
         .where(exact)
         .select(*pair_cols)
     )
