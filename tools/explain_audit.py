@@ -385,9 +385,15 @@ def main() -> None:
     q19 = dup_spans(d.select("doc_id", "text"), n=5)
     p19 = plan_of(q19)
     n_gh = len(re.findall(r"hashpartitioning\(gh#", p19))
+    bcast_semi = bool(re.search(r"BroadcastHashJoin LeftSemi", p19))
+    # Two valid shapes: (a) >=2 gh exchanges = shuffle semi-join co-partitioned
+    # with the gram agg (the 100-TB shape); (b) 1 gh exchange + a broadcast
+    # LeftSemi = AQE found the dup-gram list small enough to broadcast —
+    # strictly fewer shuffles, the better plan when it fits.
     notes19 = [
-        f"dup-gram agg + semi-join co-partitioned on the gram hash: "
-        f"{n_gh >= 2} ({n_gh} hashpartitioning(gh) exchanges)",
+        f"dup-gram semi-join co-partitioned OR broadcast (no extra shuffle): "
+        f"{n_gh >= 2 or (n_gh == 1 and bcast_semi)} "
+        f"({n_gh} hashpartitioning(gh) exchanges, broadcast semi: {bcast_semi})",
         f"island window partitioned by doc (never one task): "
         f"{'SinglePartition' not in p19}",
         f"no cartesian/BNLJ: {'Cartesian' not in p19 and 'BroadcastNestedLoopJoin' not in p19}",
