@@ -996,6 +996,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf).select("pid", "lat", "lon")
         return rasterize(pts, z=6, px=64)
 
+    def q_idw_surface(spark, sf):
+        from osmgraft.operators.raster import idw_grid
+
+        pts = _pts(spark, sf)
+        g = idw_grid(pts, z=5, px=64, radius=2, value_col="grp")
+        return g.select(
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            "px_x",
+            "px_y",
+            F.round("value", 4).alias("value"),
+            "n_src",
+        )
+
+    def q_vectorize_runs(spark, sf):
+        from osmgraft.operators.raster import rasterize, vectorize_runs
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        runs = vectorize_runs(rasterize(pts, z=6, px=64), px=64)
+        return runs.select(
+            "poly_id",
+            "tile_z",
+            "value",
+            "run_len",
+            F.round("west", 4).alias("west"),
+            F.round("east", 4).alias("east"),
+            F.round("north", 4).alias("north"),
+            F.round("south", 4).alias("south"),
+        )
+
     def q_raster_vectorize(spark, sf):
         from osmgraft.operators.raster import rasterize, vectorize
 
@@ -1890,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": q_geohash,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
+        "idw_surface": q_idw_surface,
+        "vectorize_runs": q_vectorize_runs,
         "tile_topk": q_tile_topk,
         "salted_count": q_salted_count,
         "pairwise_knn": q_pairwise_knn,
@@ -2183,6 +2216,42 @@ def oracle_sql() -> dict[str, str]:
             "round(degrees(atan((exp(pi() - 2*pi()*gy/4096.0) - exp(-(pi() - 2*pi()*gy/4096.0)))/2.0)), 4) as north, "
             "round(gx/4096.0*360.0 - 180.0, 4) as west, "
             "round((gx+1)/4096.0*360.0 - 180.0, 4) as east from cells"
+        ),
+        "idw_surface": (
+            f"with src as (select grp, lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select cast(grp as double) as v, "
+            "least(cast(floor((lon+180.0)/360.0*2048) as bigint), 2047) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*2048), 0), 2047) as bigint) as gy "
+            "from src), "
+            "fan as (select v, gx + dx.x as tx, gy + dy.y as ty, "
+            "cast(dx.x*dx.x + dy.y*dy.y as double) as d2 from px "
+            "cross join (select unnest(generate_series(-2, 2)) as x) dx "
+            "cross join (select unnest(generate_series(-2, 2)) as y) dy "
+            "where dx.x*dx.x + dy.y*dy.y <= 4), "
+            "bounded as (select * from fan "
+            "where tx >= 0 and tx < 2048 and ty >= 0 and ty < 2048) "
+            "select 5 as tile_z, tx//64 as tile_x, ty//64 as tile_y, "
+            "tx%64 as px_x, ty%64 as px_y, "
+            "round(sum(v*(1.0/(d2+0.5)))/sum(1.0/(d2+0.5)), 4) as value, "
+            "count(*) as n_src from bounded group by 1,2,3,4,5"
+        ),
+        "vectorize_runs": (
+            f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select least(cast(floor((lon+180.0)/360.0*4096) as bigint), 4095) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*4096), 0), 4095) as bigint) as gy "
+            "from src), "
+            "cells as (select gx, gy, count(*) as value from px group by 1,2), "
+            "runs as (select gx, gy, value, "
+            "gx - row_number() over (partition by gy, value order by gx) as run from cells) "
+            "select min(gx)*4294967296 + gy as poly_id, 6 as tile_z, value, "
+            "count(*) as run_len, "
+            "round(min(gx)/4096.0*360.0 - 180.0, 4) as west, "
+            "round((max(gx)+1)/4096.0*360.0 - 180.0, 4) as east, "
+            "round(degrees(atan((exp(pi() - 2*pi()*gy/4096.0) - exp(-(pi() - 2*pi()*gy/4096.0)))/2.0)), 4) as north, "
+            "round(degrees(atan((exp(pi() - 2*pi()*(gy+1)/4096.0) - exp(-(pi() - 2*pi()*(gy+1)/4096.0)))/2.0)), 4) as south "
+            "from runs group by gy, value, run"
         ),
         "dedup_exact": (
             "with corpus as (select doc_id, text from documents "

@@ -25,6 +25,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from osmgraft.operators.tiles import MAX_MERC_LAT
 
@@ -109,4 +110,122 @@ def vectorize(raster: DataFrame, px: int = 256) -> DataFrame:
         "value",
         F.array(south, south, north, north).alias("ring_lats"),
         F.array(west, east, east, west).alias("ring_lons"),
+    )
+
+
+def idw_grid(
+    points: DataFrame,
+    z: int,
+    px: int = 256,
+    radius: int = 2,
+    value_col: str = "value",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of point values onto the
+    Web-Mercator pixel grid — the "surface" half of the vector->raster
+    bridge (``rasterize`` is the binning half).
+
+    Scatter formulation: each point explodes to its ``(2*radius+1)^2``
+    neighboring pixel keys — a CONSTANT fan-out, never a point-by-grid
+    cross join — then ONE shuffle on the pixel key finishes
+    ``sum(w*v)/sum(w)`` with map-side partial aggregation. Distances are
+    pixel-center to pixel-center with the point snapped to its own pixel
+    center; the weight is the inverse-square ``1/(d^2 + 0.5)`` (the +0.5
+    keeps the point's own pixel finite). ``d^2`` is an exact small
+    integer, so the per-row weight is the same IEEE double in any engine
+    and the whole operator replays as closed-form ANSI SQL.
+
+    Pixels with no point within ``radius`` (Euclidean, in pixel units)
+    are absent: IDW support is bounded, which keeps the shuffle
+    proportional to TOUCHED pixels rather than the full 4^z grid at
+    planet scale. Skew: a megacity pixel neighborhood aggregates at most
+    ``(2*radius+1)^2`` partial rows per map task regardless of how many
+    points share a cell, because the partial agg collapses them before
+    the exchange.
+    """
+    n = (1 << z) * px
+    gx, gy = _global_pixel(F.col(lat_col), F.col(lon_col), z, px)
+    src = points.select(
+        F.col(value_col).cast("double").alias("_v"),
+        gx.alias("_gx"),
+        gy.alias("_gy"),
+    )
+    off = F.sequence(F.lit(-radius), F.lit(radius))
+    d2 = (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")).cast("double")
+    fan = (
+        src.withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .where(d2 <= float(radius * radius))
+        .withColumn("_tx", F.col("_gx") + F.col("_dx"))
+        .withColumn("_ty", F.col("_gy") + F.col("_dy"))
+        .where(
+            (F.col("_tx") >= 0)
+            & (F.col("_tx") < n)
+            & (F.col("_ty") >= 0)
+            & (F.col("_ty") < n)
+        )
+        .withColumn("_w", F.lit(1.0) / (d2 + 0.5))
+    )
+    return (
+        fan.groupBy("_tx", "_ty")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias("value"),
+            F.count("*").alias("n_src"),
+        )
+        .select(
+            F.lit(z).alias("tile_z"),
+            (F.col("_tx") / px).cast("long").alias("tile_x"),
+            (F.col("_ty") / px).cast("long").alias("tile_y"),
+            (F.col("_tx") % px).cast("long").alias("px_x"),
+            (F.col("_ty") % px).cast("long").alias("px_y"),
+            "value",
+            "n_src",
+        )
+    )
+
+
+def vectorize_runs(raster: DataFrame, px: int = 256) -> DataFrame:
+    """Raster -> vector with maximal horizontal run-length merging:
+    consecutive equal-valued pixels in a global pixel row collapse into
+    ONE rectangle (classic gaps-and-islands: ``gx - row_number()`` is
+    constant along a run). Compared with per-pixel ``vectorize`` this is
+    the compaction pass a tile sink wants — a uniform ocean row becomes
+    one rectangle instead of 2^z.
+
+    Plan shape: one window + one groupBy, both clustered on the same
+    ``(tile_z, gy, value)`` prefix, so Catalyst plans a SINGLE exchange
+    (the groupBy reuses the window's hash partitioning — its key set is a
+    superset). Runs may span tile_x boundaries on purpose; output is in
+    the same (poly_id, value, bounds) vocabulary as ``vectorize``.
+    """
+    n = F.pow(F.lit(2.0), F.col("tile_z")) * float(px)
+    gx = (F.col("tile_x") * px + F.col("px_x")).alias("_gx")
+    gy = (F.col("tile_y") * px + F.col("px_y")).alias("_gy")
+    w = Window.partitionBy("tile_z", "_gy", "value").orderBy("_gx")
+    runs = raster.select("tile_z", "value", gx, gy).withColumn(
+        "_run", F.col("_gx") - F.row_number().over(w)
+    )
+    grp = runs.groupBy("tile_z", "_gy", "value", "_run").agg(
+        F.min("_gx").alias("_gx0"),
+        F.max("_gx").alias("_gx1"),
+        F.count("*").alias("run_len"),
+    )
+
+    def inv_lat(gyc: Column) -> Column:
+        a = math.pi - (2.0 * math.pi) * gyc / n
+        return F.degrees(F.atan((F.exp(a) - F.exp(-a)) / 2.0))
+
+    def inv_lon(gxc: Column) -> Column:
+        return gxc / n * 360.0 - 180.0
+
+    return grp.select(
+        (F.col("_gx0") * F.lit(1 << 32) + F.col("_gy")).alias("poly_id"),
+        "tile_z",
+        "value",
+        "run_len",
+        inv_lon(F.col("_gx0")).alias("west"),
+        inv_lon(F.col("_gx1") + 1).alias("east"),
+        inv_lat(F.col("_gy")).alias("north"),
+        inv_lat(F.col("_gy") + 1).alias("south"),
     )

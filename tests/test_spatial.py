@@ -717,6 +717,85 @@ def test_vectorize_feeds_pip(spark):
     assert out.count() == 2  # each point falls in its own pixel rectangle
 
 
+def test_idw_exact_hit_and_support(spark):
+    """A single isolated point: its own pixel interpolates to exactly the
+    point's value (only one weight contributes), every emitted pixel lies
+    within the radius disk, and the fan-out count is the disk size."""
+    from osmgraft.operators.raster import idw_grid
+
+    pts = spark.createDataFrame([(0.0, 0.0, 7.0)], "lat double, lon double, v double")
+    g = idw_grid(pts, z=4, px=64, radius=2, value_col="v").collect()
+    # circular kernel at r=2: 13 offsets with dx^2+dy^2 <= 4 (1+4+4+4)
+    assert len(g) == 13
+    gx = {(r["tile_x"] * 64 + r["px_x"], r["tile_y"] * 64 + r["px_y"]): r for r in g}
+    cx, cy = 512, 512  # forward mercator of (0, 0) at n = 16*64 = 1024
+    own = gx[(cx, cy)]
+    assert own["value"] == 7.0 and own["n_src"] == 1
+    for (x, y), r in gx.items():
+        assert (x - cx) ** 2 + (y - cy) ** 2 <= 4
+        assert abs(r["value"] - 7.0) < 1e-12  # single source: v everywhere
+
+
+def test_idw_constant_field_and_weighting(spark):
+    """Constant-valued points interpolate to (approximately) the constant;
+    a two-point gradient interpolates strictly between the two values and
+    closer to the nearer point."""
+    from osmgraft.operators.raster import idw_grid
+
+    rng = np.random.default_rng(5)
+    pts = spark.createDataFrame(
+        [(float(la), float(lo), 3.5) for la, lo in zip(rng.uniform(-70, 70, 50), rng.uniform(-170, 170, 50))],
+        "lat double, lon double, v double",
+    )
+    for r in idw_grid(pts, z=3, px=32, radius=1, value_col="v").collect():
+        assert abs(r["value"] - 3.5) < 1e-9
+    # two adjacent pixels, values 0 and 10: midpoints weight toward nearer
+    two = spark.createDataFrame(
+        [(0.0, 0.0, 0.0), (0.0, 0.4, 10.0)], "lat double, lon double, v double"
+    )
+    out = {
+        (r["tile_x"] * 64 + r["px_x"], r["tile_y"] * 64 + r["px_y"]): r["value"]
+        for r in idw_grid(two, z=2, px=64, radius=2, value_col="v").collect()
+    }
+    assert any(0.0 < v < 10.0 for v in out.values())  # blended band exists
+    assert min(out.values()) >= 0.0 and max(out.values()) <= 10.0
+
+
+def test_vectorize_runs_merges_rows(spark):
+    """Horizontally adjacent equal-valued pixels collapse into one
+    rectangle; run_len totals the pixel count and bounds cover the run."""
+    from osmgraft.operators.raster import rasterize, vectorize_runs
+
+    # three points in consecutive pixels of one row + one isolated point
+    pts = spark.createDataFrame(
+        [(0.0, 0.05), (0.0, 0.40), (0.0, 0.75), (40.0, 90.0)],
+        "lat double, lon double",
+    )
+    ras = rasterize(pts, z=2, px=256)  # n=1024 px, ~0.35 deg/px at equator
+    runs = vectorize_runs(ras, px=256).collect()
+    assert sum(r["run_len"] for r in runs) == ras.count()
+    by_len = sorted(r["run_len"] for r in runs)
+    assert by_len == [1, 3]
+    merged = next(r for r in runs if r["run_len"] == 3)
+    assert merged["value"] == 1
+    assert merged["west"] < 0.05 and merged["east"] > 0.75
+    assert merged["south"] < 0.0 <= merged["north"]  # lat 0 sits on the row edge
+
+
+def test_vectorize_runs_never_merges_across_values(spark):
+    from osmgraft.operators.raster import vectorize_runs
+
+    # hand-built raster row: values 1,1,2,1 -> runs (1,len2),(2,len1),(1,len1)
+    ras = spark.createDataFrame(
+        [(3, 0, 0, x, 5, v) for x, v in [(0, 1), (1, 1), (2, 2), (3, 1)]],
+        "tile_z long, tile_x long, tile_y long, px_x long, px_y long, value long",
+    )
+    runs = sorted(
+        (r["value"], r["run_len"]) for r in vectorize_runs(ras, px=16).collect()
+    )
+    assert runs == [(1, 1), (1, 2), (2, 1)]
+
+
 def test_polar_sentinel_probes_single_cell(spark):
     # A sentinel id plus a disk(1) axial offset lands on the OPPOSITE
     # hemisphere's sentinel ((q=1,r=0)+(-1,0) == (q=0,r=0)), which would
