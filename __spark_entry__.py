@@ -1882,6 +1882,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_changelog(snap, chg, key="id")
 
+    def q_scd2(spark, sf):
+        from osmgraft.operators.cdc import scd2_intervals
+
+        o = _read(spark, sf, "orders")
+        chg = o.select(
+            F.col("o_custkey").alias("id"),
+            F.col("o_orderkey").alias("seq"),
+            F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            (F.col("o_orderkey") % 25).cast("long").alias("nat"),
+        )
+        out = scd2_intervals(chg, key="id", attrs=["status", "nat"])
+        # nullable bigint round-trips from DuckDB as float64; align kinds
+        return out.withColumn("valid_to", F.col("valid_to").cast("double"))
+
     # --- layout: geohash string key -------------------------------------------------
     def q_geohash(spark, sf):
         from osmgraft.operators.layout import geohash
@@ -1918,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_overlap_tris": q_poly_overlap_tris,
         "snap_points_ways": q_snap,
         "cdc_upsert": q_cdc,
+        "scd2_intervals": q_scd2,
         "geohash_cells": q_geohash,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
@@ -2164,6 +2180,20 @@ def oracle_sql() -> dict[str, str]:
             "u as (select * from s union all select * from c), "
             "r as (select *, row_number() over (partition by id order by _seq desc) as rn from u) "
             "select id, bal, nat from r where rn = 1 and _op <> 'D'"
+        ),
+        "scd2_intervals": (
+            "with chg as (select o_custkey as id, o_orderkey as seq, "
+            "case when o_orderkey % 10 = 0 then 'D' else 'U' end as op, "
+            "o_orderstatus as status, cast(o_orderkey % 25 as bigint) as nat from orders), "
+            "m as (select *, case when op is distinct from lag(op) over w "
+            "or status is distinct from lag(status) over w "
+            "or nat is distinct from lag(nat) over w then 1 else 0 end as chg "
+            "from chg window w as (partition by id order by seq)), "
+            "t as (select * from m where chg = 1), "
+            "iv as (select id, status, nat, op, seq as valid_from, "
+            "lead(seq) over (partition by id order by seq) as valid_to from t) "
+            "select id, status, nat, valid_from, cast(valid_to as double) as valid_to, "
+            "valid_to is null as is_current from iv where op = 'U'"
         ),
         "tile_topk": (
             f"with t as (select pid as osm_id, "

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 OPS = ("U", "D")
 
@@ -78,4 +79,50 @@ def apply_changelog(
     )
     return latest.where(F.col("_m._op") != "D").select(
         key, *[F.col(f"_m.{c}").alias(c) for c in payload]
+    )
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key: str = "id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: fold a keyed changelog
+    into validity intervals ``(key, attrs..., valid_from, valid_to,
+    is_current)`` — the dimension-table complement of
+    :func:`apply_changelog`'s latest-state fold.
+
+    Consecutive changes with IDENTICAL state (op + attrs, null-safe)
+    merge into one interval, so replayed or no-op updates don't mint
+    versions; a delete closes the open interval without emitting one.
+    ``valid_to`` is the next version's ``valid_from`` (half-open
+    intervals, exactly the shape interval_join consumes); open intervals
+    have ``valid_to`` NULL and ``is_current`` true.
+
+    Plan: ONE hash shuffle on the key. The change-mark lag, the
+    interval lead, and the final filters all share the same window
+    partitioning, and the second window's sort is satisfied by the
+    first's output ordering (filter preserves both), so Catalyst plans
+    exchange -> sort -> two window operators back to back. Skew rides
+    the key cardinality like every per-key fold here — a single key's
+    history must sort in one task, which is the semantic minimum for
+    ordered change detection.
+    """
+    attrs = attrs or [c for c in changelog.columns if c not in (key, seq_col, op_col)]
+    w = Window.partitionBy(key).orderBy(seq_col)
+    op = F.when(F.col(op_col).isin(*OPS), F.col(op_col)).otherwise(
+        F.raise_error(F.concat(F.lit("scd2_intervals: unknown op "), F.col(op_col)))
+    )
+    state = F.struct(op.alias("_op"), *[F.col(a) for a in attrs])
+    marked = changelog.withColumn("_chg", ~state.eqNullSafe(F.lag(state).over(w)))
+    trans = marked.where(F.col("_chg"))
+    out = trans.withColumn("valid_to", F.lead(F.col(seq_col)).over(w).cast("long"))
+    return out.where(F.col(op_col) == "U").select(
+        key,
+        *attrs,
+        F.col(seq_col).cast("long").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )

@@ -68,3 +68,56 @@ def test_apply_changelog_missing_payload_col_raises(spark):
     chg = spark.createDataFrame([(1, 1, "U")], "id long, seq long, op string")
     with pytest.raises(ValueError, match="lacks snapshot columns"):
         apply_changelog(snap, chg)
+
+
+def test_scd2_intervals_semantics(spark):
+    from osmgraft.operators.cdc import scd2_intervals
+
+    chg = spark.createDataFrame(
+        [
+            # key 1: v1, no-op replay (merges), v2, delete, re-insert v3
+            (1, 1, "U", "a"),
+            (1, 2, "U", "a"),
+            (1, 3, "U", "b"),
+            (1, 5, "D", None),
+            (1, 8, "U", "c"),
+            # key 2: single version, still open
+            (2, 4, "U", "x"),
+        ],
+        "id long, seq long, op string, tag string",
+    )
+    rows = sorted(
+        (r.id, r.tag, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(chg, key="id", attrs=["tag"]).collect()
+    )
+    assert rows == [
+        (1, "a", 1, 3, False),   # replay at seq 2 minted no version
+        (1, "b", 3, 5, False),   # closed by the delete
+        (1, "c", 8, None, True),
+        (2, "x", 4, None, True),
+    ]
+
+
+def test_scd2_intervals_consecutive_deletes_merge(spark):
+    from osmgraft.operators.cdc import scd2_intervals
+
+    chg = spark.createDataFrame(
+        [(7, 1, "U", "v"), (7, 2, "D", None), (7, 3, "D", None), (7, 4, "U", "v")],
+        "id long, seq long, op string, tag string",
+    )
+    rows = sorted(
+        (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(chg, key="id", attrs=["tag"]).collect()
+    )
+    # the two D rows collapse; the second U reopens at seq 4
+    assert rows == [(1, 2, False), (4, None, True)]
+
+
+def test_scd2_intervals_unknown_op_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from osmgraft.operators.cdc import scd2_intervals
+
+    chg = spark.createDataFrame([(1, 1, "X", "a")], "id long, seq long, op string, tag string")
+    with pytest.raises(SparkRuntimeException, match="unknown op"):
+        scd2_intervals(chg, key="id", attrs=["tag"]).collect()
