@@ -702,6 +702,59 @@ def main() -> None:
     ]
     sections.append(("geohash key — pure codegen, zero shuffle", p36, notes36))
 
+    # 37. IDW surface — scatter formulation: the bounded neighbor explode
+    # replaces any point-by-grid join; ONE exchange on the pixel key with
+    # map-side partial aggregation, zero joins, pure Catalyst.
+    q37 = entry_mod.queries()["idw_surface"](spark, SF)
+    p37 = plan_of(q37)
+    notes37 = [
+        f"exactly one wide exchange (pixel-key agg): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p37)) == 1}",
+        f"zero join nodes (scatter explode, not a grid join): "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p37)}",
+        f"weighted sums partially aggregated map-side: {'partial_sum' in p37}",
+        f"pure Catalyst (no Python): {'Python' not in p37}",
+    ]
+    sections.append(
+        ("IDW surface — one-shuffle scatter interpolation, zero joins", p37, notes37)
+    )
+
+    # 38. run-length vectorize — gaps-and-islands: the run groupBy's key
+    # set is a superset of the window partition key, so Catalyst reuses
+    # the window's hash partitioning (2 exchanges TOTAL incl. rasterize's
+    # own pixel agg; the runs pass adds exactly one).
+    q38 = entry_mod.queries()["vectorize_runs"](spark, SF)
+    p38 = plan_of(q38)
+    n_win38 = len(re.findall(r"[(]\d+[)] Window", p38))
+    notes38 = [
+        f"two exchanges total (rasterize agg + window; run groupBy reuses "
+        f"the window partitioning): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p38)) == 2}",
+        f"one window operator: {n_win38 == 1}",
+        f"pure Catalyst (no Python): {'Python' not in p38}",
+    ]
+    sections.append(
+        ("run-length vectorize — window partitioning reused by the run fold", p38, notes38)
+    )
+
+    # 39. SCD2 intervals — ONE exchange; change-mark lag and interval
+    # lead are back-to-back windows over the same sort, zero joins.
+    q39 = entry_mod.queries()["scd2_intervals"](spark, SF)
+    p39 = plan_of(q39)
+    n_win39 = len(re.findall(r"[(]\d+[)] Window", p39))
+    n_sort39 = len(re.findall(r"[(]\d+[)] Sort", p39))
+    notes39 = [
+        f"exactly one wide exchange (the key history sort): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p39)) == 1}",
+        f"both windows share one sort: {n_win39 == 2 and n_sort39 == 1}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p39)}",
+        f"pure Catalyst (no Python): {'Python' not in p39}",
+    ]
+    sections.append(
+        ("SCD2 intervals — one shuffle, two windows on one sort", p39, notes39)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
