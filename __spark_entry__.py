@@ -437,6 +437,38 @@ def _stage_png_oracle(n: int = 120) -> str:
     return _PNG_ORACLE_PATH
 
 
+def _s2_compact_oracle_sql(level_from: int = 13, level_to: int = 10) -> str:
+    """DuckDB replica of functions.cells.compact_cells over the 4-children
+    expansion of the distinct level-12 cells (see q_s2_compact): per level
+    a window count/min over the parent key keeps incomplete siblings and
+    promotes one representative of each complete group."""
+    base = _s2_oracle_sql(level=12)
+    k = 1 << (2 * (30 - level_from))
+    parts = [
+        f"with c{level_from} as (select cell + d*{k} as cell from "
+        f"(select distinct s2_cell as cell from ({base}) b) s "
+        "cross join (select unnest([-3,-1,1,3]) as d) ks)"
+    ]
+    for lvl in range(level_from, level_to, -1):
+        plsb = 1 << (2 * (30 - (lvl - 1)))
+        parts.append(
+            f"p{lvl} as (select cell, ((cell & ~({plsb}-1)) | {plsb}) as par from c{lvl})"
+        )
+        parts.append(
+            f"w{lvl} as (select cell, par, count(*) over (partition by par) as n, "
+            f"min(cell) over (partition by par) as mn from p{lvl})"
+        )
+        parts.append(f"k{lvl} as (select cell, {lvl} as level from w{lvl} where n < 4)")
+        parts.append(
+            f"c{lvl - 1} as (select par as cell from w{lvl} where n = 4 and cell = mn)"
+        )
+    sel = " union all ".join(
+        [f"select cell, level from k{lvl}" for lvl in range(level_from, level_to, -1)]
+        + [f"select cell, {level_to} as level from c{level_to}"]
+    )
+    return ", ".join(parts) + " " + sel
+
+
 def _s2_oracle_sql(level: int = 12) -> str:
     """Bit-exact DuckDB replica of osmgraft.functions.cells.s2_cell_id over
     the shared pts derivation: face selection + quadratic (u,v)->(s,t) +
@@ -1318,6 +1350,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return pts.select("pid", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"))
 
+    def q_s2_compact(spark, sf):
+        # every level-12 cell's 4 children are generated, so level 13
+        # fully collapses back; levels 12->10 compact only where all 4
+        # siblings are present in the data (dense clusters)
+        from osmgraft.functions.cells import (
+            compact_cells,
+            s2_cell_udf,
+            s2_children_expr,
+        )
+
+        pts = _pts(spark, sf)
+        c12 = pts.select(
+            s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("c")
+        ).distinct()
+        kids = c12.select(F.explode(s2_children_expr(F.col("c"), 13)).alias("cell"))
+        return compact_cells(kids, level=13, min_level=10)
+
     def q_minhash_pairs(spark, sf):
         # Oracled configuration: 32 single-row bands and token shingles
         # (shingle_n=1). A pair with token-jaccard >= 0.6 misses all 32
@@ -1968,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled engine-native queries (SQL replicas on the DuckDB side):
         "doc_dedup_first": q_doc_dedup_first,
         "s2_cells": q_s2_cells,
+        "s2_compact": q_s2_compact,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -2501,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "osm_adaptive_cells": _staged_oracle("adaptive_cells"),
         "doc_dedup_first": _doc_dedup_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
+        "s2_compact": _s2_compact_oracle_sql(13, 10),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the
             # 32-single-row-band LSH config is full-recall on this data,

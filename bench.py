@@ -411,6 +411,15 @@ def main() -> None:
     def q_geohash():
         return _entry("geohash_cells")
 
+    def q_idw():
+        return _entry("idw_surface")
+
+    def q_vec_runs():
+        return _entry("vectorize_runs")
+
+    def q_scd2():
+        return _entry("scd2_intervals")
+
     def q_tile_pyramid():
         from osmgraft.operators.tiles import tile_pyramid
 
@@ -476,6 +485,9 @@ def main() -> None:
         ("weighted_sample_docs", q_weighted_sample),
         ("hist_quantiles_by_lang", q_hist_quantiles_by),
         ("geohash_cells", q_geohash),
+        ("idw_surface", q_idw),
+        ("vectorize_runs", q_vec_runs),
+        ("scd2_intervals", q_scd2),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

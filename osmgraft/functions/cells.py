@@ -152,6 +152,80 @@ def s2_token(cell: int) -> str:
     return h or "X"
 
 
+def s2_parent_expr(cell: Column, level: int) -> Column:
+    """Pure-Catalyst parent id at ``level`` (same bit math as
+    :func:`s2_parent`; works on a cell of any deeper level)."""
+    lsb = 1 << (2 * (_MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(~(lsb - 1))).bitwiseOR(F.lit(lsb))
+
+
+def s2_children_expr(cell: Column, child_level: int) -> Column:
+    """Array of the 4 child ids one level down (pure Catalyst): a cell
+    with lsb ``4k`` has children ``cell + {-3,-1,1,3}*k`` where ``k`` is
+    the child level's lsb."""
+    k = 1 << (2 * (_MAX_LEVEL - child_level))
+    return F.array(*[cell + F.lit(d * k) for d in (-3, -1, 1, 3)])
+
+
+def compact_cells(
+    df,
+    cell_col: str = "cell",
+    level: int = 12,
+    min_level: int = 0,
+    persist_tracker: list | None = None,
+):
+    """S2 cell-union normalization ("compact"): replace every COMPLETE
+    group of 4 sibling cells with their parent, repeatedly, from
+    ``level`` down to ``min_level`` — the coverings-at-rest operator (a
+    polygon covering or presence set stored compacted is 4x smaller per
+    fully-covered level).
+
+    Contract: every input cell is at ``level`` (duplicates allowed — the
+    entry ``distinct`` folds them; 4 copies of one child must not fake a
+    complete group). Output: ``(cell, level)`` with mixed levels.
+
+    Plan shape: one distinct exchange, then ONE hash exchange per
+    promoted level (a window count + min over the parent key decides
+    completeness and picks one representative — no join anywhere). The
+    frame shrinks >= 4x per promotion, so the level loop's total shuffle
+    volume is bounded by ~1.33x the input regardless of depth — the
+    right shape at planet scale where a covering can hold 10^9 cells.
+
+    Each level's marked frame is persisted (tracked in
+    ``persist_tracker`` for the caller to unpersist, same contract as
+    tiles.tile_pyramid): without it the final Union's branches would
+    re-derive the whole upstream lineage once per level — O(levels^2)
+    recompute.
+    """
+    from pyspark.sql.window import Window
+
+    cur = df.select(F.col(cell_col).alias("cell")).distinct()
+    levels = []
+    for lvl in range(level, min_level, -1):
+        par = s2_parent_expr(F.col("cell"), lvl - 1)
+        w = Window.partitionBy("_par")
+        marked = (
+            cur.withColumn("_par", par)
+            .withColumn("_n", F.count("*").over(w))
+            .withColumn("_mn", F.min("cell").over(w))
+        ).persist()
+        if persist_tracker is not None:
+            persist_tracker.append(marked)
+        levels.append(
+            marked.where(F.col("_n") < 4).select(
+                "cell", F.lit(lvl).cast("int").alias("level")
+            )
+        )
+        cur = marked.where((F.col("_n") == 4) & (F.col("cell") == F.col("_mn"))).select(
+            F.col("_par").alias("cell")
+        )
+    levels.append(cur.select("cell", F.lit(min_level).cast("int").alias("level")))
+    out = levels[0]
+    for frame in levels[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
 def s2_cell_udf(level: int = 12):
     @F.pandas_udf("long")
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:

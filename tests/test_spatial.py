@@ -51,6 +51,51 @@ def test_s2_parent_containment():
         assert np.array_equal(direct, via_parent)
 
 
+def test_s2_children_roundtrip():
+    # the 4 children of a cell all parent back to it, at every level
+    rng = np.random.default_rng(3)
+    for lvl in (4, 11, 20):
+        ids = cells.s2_cell_id(rng.uniform(-85, 85, 50), rng.uniform(-180, 180, 50), lvl)
+        k = 1 << (2 * (30 - (lvl + 1)))
+        for d in (-3, -1, 1, 3):
+            child = ids + d * k
+            assert np.array_equal(cells.s2_parent(child, lvl), ids)
+
+
+def test_s2_compact_full_and_partial(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.cells import compact_cells, s2_children_expr
+
+    base = cells.s2_cell_id([48.0, 48.0, -33.9], [9.0, 9.002, 151.2], 11)
+    parents = spark.createDataFrame([(int(c),) for c in set(base)], "c long")
+    # all 4 children of every parent -> compaction recovers the parents
+    kids = parents.select(F.explode(s2_children_expr(F.col("c"), 12)).alias("cell"))
+    got = compact_cells(kids, level=12, min_level=8).collect()
+    assert sorted(r["cell"] for r in got) == sorted(r["c"] for r in parents.collect())
+    assert all(r["level"] == 11 for r in got)  # no complete level-11 groups
+
+    # remove ONE child -> that parent's 3 remaining stay at level 12
+    one = int(parents.collect()[0]["c"])
+    k12 = 1 << (2 * (30 - 12))
+    kids_partial = kids.where(F.col("cell") != one - 3 * k12)
+    out = compact_cells(kids_partial, level=12, min_level=8).collect()
+    lv = sorted(r["level"] for r in out)
+    n_par = parents.count()
+    assert lv == [11] * (n_par - 1) + [12] * 3
+
+
+def test_s2_compact_duplicates_dont_fake_completeness(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.cells import compact_cells
+
+    c = int(cells.s2_cell_id([10.0], [10.0], 12)[0])
+    four_copies = spark.createDataFrame([(c,)] * 4, "cell long")
+    out = compact_cells(four_copies, level=12, min_level=8).collect()
+    assert [(r["cell"], r["level"]) for r in out] == [(c, 12)]
+
+
 def test_s2_locality():
     # nearby points share coarse parents; distant points don't
     a = cells.s2_cell_id([48.7758], [9.1829], 10)[0]

@@ -755,6 +755,23 @@ def main() -> None:
         ("SCD2 intervals — one shuffle, two windows on one sort", p39, notes39)
     )
 
+    # 40. S2 cell compaction — per-level window folds, no joins; each
+    # level's marked frame is persisted so the final Union reads the
+    # cached frames instead of re-deriving the lineage once per branch.
+    q40 = entry_mod.queries()["s2_compact"](spark, SF)
+    p40 = plan_of(q40)
+    notes40 = [
+        f"zero join nodes (window completeness fold): "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p40)}",
+        f"union branches read persisted level frames: "
+        f"{'InMemoryTableScan' in p40 or 'TableCacheQueryStage' in p40}",
+        f"single-pass Arrow encode feeds the ladder (one ArrowEvalPython): "
+        f"{len(re.findall(_ARROW_OP_RE, p40, re.M)) <= 1}",
+    ]
+    sections.append(
+        ("S2 compaction — per-level window folds over persisted frames", p40, notes40)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
