@@ -1350,6 +1350,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return pts.select("pid", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"))
 
+    def q_stay_points(spark, sf):
+        # deterministic synthetic trajectories over the events table:
+        # per-user base location + value-derived jitter (~<=0.02 deg), so
+        # step distances straddle the 1500 m break threshold
+        from osmgraft.operators.sessions import _epoch_seconds
+        from osmgraft.operators.trajectory import stay_points
+
+        ev = _read(spark, sf, "events")
+        fixes = ev.select(
+            "user_id",
+            "event_id",
+            _epoch_seconds(ev, "ts").alias("ts_s"),
+            ((F.col("user_id") % 120).cast("double") / 2.0 + F.col("value") % 0.01).alias("lat"),
+            ((F.col("user_id") * 37 % 360).cast("double") - 180.0 + F.col("value") % 0.01).alias("lon"),
+        )
+        out = stay_points(
+            fixes,
+            ts_col="ts_s",
+            order_tiebreak="event_id",
+            jump_m=1500.0,
+            min_duration_s=600,
+            min_pts=3,
+        )
+        return out.select(
+            "user_id",
+            "stay_seq",
+            "n_fixes",
+            "t_start",
+            "t_end",
+            "dwell_s",
+            F.round("lat", 4).alias("lat"),
+            F.round("lon", 4).alias("lon"),
+        )
+
     def q_s2_compact(spark, sf):
         # every level-12 cell's 4 children are generated, so level 13
         # fully collapses back; levels 12->10 compact only where all 4
@@ -2018,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_first": q_doc_dedup_first,
         "s2_cells": q_s2_cells,
         "s2_compact": q_s2_compact,
+        "stay_points": q_stay_points,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -2552,6 +2587,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_first": _doc_dedup_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
         "s2_compact": _s2_compact_oracle_sql(13, 10),
+        "stay_points": (
+            "with fx as (select user_id, event_id, "
+            "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
+            "cast(user_id % 120 as double)/2.0 + value % 0.01 as lat, "
+            "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
+            "st as (select *, lag(lat) over w as la1, lag(lon) over w as lo1 from fx "
+            "window w as (partition by user_id order by ts_s asc, event_id asc)), "
+            "br as (select *, case when la1 is null or "
+            "2*6371008.8*asin(sqrt(pow(sin(radians(lat-la1)/2),2) + "
+            "cos(radians(la1))*cos(radians(lat))*pow(sin(radians(lon-lo1)/2),2))) > 1500.0 "
+            "then 1 else 0 end as b from st), "
+            "run as (select *, sum(b) over (partition by user_id "
+            "order by ts_s asc, event_id asc rows unbounded preceding) as stay_seq from br), "
+            "agg as (select user_id, cast(stay_seq as bigint) as stay_seq, "
+            "count(*) as n_fixes, min(ts_s) as t_start, max(ts_s) as t_end, "
+            "cast(max(ts_s) - min(ts_s) as bigint) as dwell_s, "
+            "round(avg(lat), 4) as lat, round(avg(lon), 4) as lon "
+            "from run group by 1, 2) "
+            "select * from agg where dwell_s >= 600 and n_fixes >= 3"
+        ),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the
             # 32-single-row-band LSH config is full-recall on this data,

@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import re
+
+from osmgraft.operators.trajectory import stay_points
+
+
+def _fixes(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s long, lat double, lon double"
+    )
+
+
+def test_stay_point_detected_and_summarized(spark):
+    # user 1: four fixes ~50 m apart over 700 s (a stay), then a 10 km
+    # jump followed by a single fix (no stay: 1 fix, 0 dwell)
+    fx = _fixes(
+        spark,
+        [
+            (1, 1, 0, 48.0000, 9.0000),
+            (1, 2, 200, 48.0004, 9.0000),
+            (1, 3, 450, 48.0000, 9.0006),
+            (1, 4, 700, 48.0002, 9.0002),
+            (1, 5, 1000, 48.0900, 9.0000),
+        ],
+    )
+    out = stay_points(
+        fx, ts_col="ts_s", order_tiebreak="event_id", jump_m=200.0,
+        min_duration_s=600, min_pts=3,
+    ).collect()
+    assert len(out) == 1
+    s = out[0]
+    assert (s["n_fixes"], s["t_start"], s["t_end"], s["dwell_s"]) == (4, 0, 700, 700)
+    assert abs(s["lat"] - 48.00015) < 1e-9  # plain fix-average centroid
+    assert abs(s["lon"] - 9.0002) < 1e-9
+
+
+def test_short_dwell_and_few_fixes_filtered(spark):
+    fx = _fixes(
+        spark,
+        [
+            # dwell 100 s < 600 -> out
+            (2, 1, 0, 10.0, 10.0),
+            (2, 2, 50, 10.0001, 10.0),
+            (2, 3, 100, 10.0, 10.0001),
+            # 2 fixes < min_pts 3 -> out (even with long dwell)
+            (3, 1, 0, 20.0, 20.0),
+            (3, 2, 5000, 20.0001, 20.0),
+        ],
+    )
+    out = stay_points(
+        fx, ts_col="ts_s", order_tiebreak="event_id", jump_m=200.0,
+        min_duration_s=600, min_pts=3,
+    ).collect()
+    assert out == []
+
+
+def test_jump_splits_runs_per_user_independently(spark):
+    # two stays for user 4 split by one big jump; user 5 unaffected
+    rows = [(4, i, i * 300, 30.0 + (0.0001 if i % 2 else 0.0), 30.0) for i in range(1, 4)]
+    rows += [(4, i, i * 300, 31.0 + (0.0001 if i % 2 else 0.0), 30.0) for i in range(4, 7)]
+    rows += [(5, i, i * 300, 40.0, 40.0) for i in range(1, 4)]
+    out = stay_points(
+        _fixes(spark, rows), ts_col="ts_s", order_tiebreak="event_id",
+        jump_m=200.0, min_duration_s=600, min_pts=3,
+    ).collect()
+    got = sorted((r["user_id"], r["n_fixes"]) for r in out)
+    assert got == [(4, 3), (4, 3), (5, 3)]
+
+
+def test_single_shuffle_plan(spark):
+    fx = _fixes(spark, [(1, 1, 0, 0.0, 0.0)])
+    plan = (
+        stay_points(fx, ts_col="ts_s", order_tiebreak="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # window + refined-key aggregate share ONE hash exchange; no joins
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "Python" not in plan

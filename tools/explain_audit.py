@@ -772,6 +772,22 @@ def main() -> None:
         ("S2 compaction — per-level window folds over persisted frames", p40, notes40)
     )
 
+    # 41. stay points — spatial sessionization: lag haversine break,
+    # running-sum numbering and the refined-key rollup share ONE hash
+    # exchange; pure Catalyst.
+    q41 = entry_mod.queries()["stay_points"](spark, SF)
+    p41 = plan_of(q41)
+    notes41 = [
+        f"exactly one wide exchange (mover key): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p41)) == 1}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p41)}",
+        f"pure Catalyst (no Python): {'Python' not in p41}",
+    ]
+    sections.append(
+        ("stay points — one-shuffle spatial sessionization", p41, notes41)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
