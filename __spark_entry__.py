@@ -437,6 +437,37 @@ def _stage_png_oracle(n: int = 120) -> str:
     return _PNG_ORACLE_PATH
 
 
+def _stay_oracle_sql(rounded: bool = True) -> str:
+    """DuckDB replica of operators.trajectory.stay_points over the
+    deterministic synthetic trajectories of q_stay_points. ``rounded``
+    controls the centroid columns: the stay_points oracle compares them
+    rounded; od_flows composes on the raw centroids."""
+    cent = (
+        "round(avg(lat), 4) as lat, round(avg(lon), 4) as lon"
+        if rounded
+        else "avg(lat) as lat, avg(lon) as lon"
+    )
+    return (
+        "with fx as (select user_id, event_id, "
+        "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
+        "cast(user_id % 120 as double)/2.0 + value % 0.01 as lat, "
+        "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
+        "st as (select *, lag(lat) over w as la1, lag(lon) over w as lo1 from fx "
+        "window w as (partition by user_id order by ts_s asc, event_id asc)), "
+        "br as (select *, case when la1 is null or "
+        "2*6371008.8*asin(sqrt(pow(sin(radians(lat-la1)/2),2) + "
+        "cos(radians(la1))*cos(radians(lat))*pow(sin(radians(lon-lo1)/2),2))) > 1500.0 "
+        "then 1 else 0 end as b from st), "
+        "run as (select *, sum(b) over (partition by user_id "
+        "order by ts_s asc, event_id asc rows unbounded preceding) as stay_seq from br), "
+        "agg as (select user_id, cast(stay_seq as bigint) as stay_seq, "
+        "count(*) as n_fixes, min(ts_s) as t_start, max(ts_s) as t_end, "
+        f"cast(max(ts_s) - min(ts_s) as bigint) as dwell_s, {cent} "
+        "from run group by 1, 2) "
+        "select * from agg where dwell_s >= 600 and n_fixes >= 3"
+    )
+
+
 def _s2_compact_oracle_sql(level_from: int = 13, level_to: int = 10) -> str:
     """DuckDB replica of functions.cells.compact_cells over the 4-children
     expansion of the distinct level-12 cells (see q_s2_compact): per level
@@ -1350,7 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return pts.select("pid", s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell"))
 
-    def q_stay_points(spark, sf):
+    def _traj_stays(spark, sf):
         # deterministic synthetic trajectories over the events table:
         # per-user base location + value-derived jitter (~<=0.02 deg), so
         # step distances straddle the 1500 m break threshold
@@ -1365,7 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((F.col("user_id") % 120).cast("double") / 2.0 + F.col("value") % 0.01).alias("lat"),
             ((F.col("user_id") * 37 % 360).cast("double") - 180.0 + F.col("value") % 0.01).alias("lon"),
         )
-        out = stay_points(
+        return stay_points(
             fixes,
             ts_col="ts_s",
             order_tiebreak="event_id",
@@ -1373,6 +1404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_duration_s=600,
             min_pts=3,
         )
+
+    def q_stay_points(spark, sf):
+        out = _traj_stays(spark, sf)
         return out.select(
             "user_id",
             "stay_seq",
@@ -1382,6 +1416,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dwell_s",
             F.round("lat", 4).alias("lat"),
             F.round("lon", 4).alias("lon"),
+        )
+
+    def q_od_flows(spark, sf):
+        from osmgraft.operators.trajectory import od_flows
+
+        out = od_flows(_traj_stays(spark, sf), z=7, start_col="t_start")
+        return out.select(
+            "from_x",
+            "from_y",
+            "to_x",
+            "to_y",
+            "n_trips",
+            F.round("avg_transit_s", 4).alias("avg_transit_s"),
         )
 
     def q_s2_compact(spark, sf):
@@ -2053,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "s2_compact": q_s2_compact,
         "stay_points": q_stay_points,
+        "od_flows": q_od_flows,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -2587,25 +2635,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_first": _doc_dedup_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
         "s2_compact": _s2_compact_oracle_sql(13, 10),
-        "stay_points": (
-            "with fx as (select user_id, event_id, "
-            "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
-            "cast(user_id % 120 as double)/2.0 + value % 0.01 as lat, "
-            "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
-            "st as (select *, lag(lat) over w as la1, lag(lon) over w as lo1 from fx "
-            "window w as (partition by user_id order by ts_s asc, event_id asc)), "
-            "br as (select *, case when la1 is null or "
-            "2*6371008.8*asin(sqrt(pow(sin(radians(lat-la1)/2),2) + "
-            "cos(radians(la1))*cos(radians(lat))*pow(sin(radians(lon-lo1)/2),2))) > 1500.0 "
-            "then 1 else 0 end as b from st), "
-            "run as (select *, sum(b) over (partition by user_id "
-            "order by ts_s asc, event_id asc rows unbounded preceding) as stay_seq from br), "
-            "agg as (select user_id, cast(stay_seq as bigint) as stay_seq, "
-            "count(*) as n_fixes, min(ts_s) as t_start, max(ts_s) as t_end, "
-            "cast(max(ts_s) - min(ts_s) as bigint) as dwell_s, "
-            "round(avg(lat), 4) as lat, round(avg(lon), 4) as lon "
-            "from run group by 1, 2) "
-            "select * from agg where dwell_s >= 600 and n_fixes >= 3"
+        "stay_points": _stay_oracle_sql(rounded=True),
+        "od_flows": (
+            "with stays as (" + _stay_oracle_sql(rounded=False) + "), "
+            "legs as (select *, lead(lat) over w as nlat, lead(lon) over w as nlon, "
+            "lead(t_start) over w as nstart from stays "
+            "window w as (partition by user_id order by t_start asc)), "
+            "keyed as (select "
+            "least(cast(floor((lon+180.0)/360.0*128) as bigint), 127) as from_x, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878))) "
+            "+ 1.0/cos(radians(least(greatest(lat, -85.05112878), 85.05112878))))/pi())/2.0*128), 0), 127) as bigint) as from_y, "
+            "least(cast(floor((nlon+180.0)/360.0*128) as bigint), 127) as to_x, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(least(greatest(nlat, -85.05112878), 85.05112878))) "
+            "+ 1.0/cos(radians(least(greatest(nlat, -85.05112878), 85.05112878))))/pi())/2.0*128), 0), 127) as bigint) as to_y, "
+            "nstart - t_end as transit from legs where nlat is not null) "
+            "select from_x, from_y, to_x, to_y, count(*) as n_trips, "
+            "round(avg(transit), 4) as avg_transit_s "
+            "from keyed group by 1, 2, 3, 4"
         ),
         "minhash_lsh_pairs": (
             # exact token-jaccard pairs over the same derived corpus; the

@@ -86,3 +86,56 @@ def stay_points(
     return g.where(
         (F.col("dwell_s") >= min_duration_s) & (F.col("n_fixes") >= min_pts)
     )
+
+
+def od_flows(
+    stays: DataFrame,
+    z: int = 7,
+    user_col: str = "user_id",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Origin-destination flow matrix from per-mover stay sequences: each
+    consecutive stay pair becomes a directed leg, aggregated to slippy-
+    tile cell pairs at zoom ``z`` — the standard mobility rollup (trip
+    tables, demand matrices) and the privacy-preserving shape movement
+    data ships in (k-anonymous cells, no raw traces).
+
+    Plan: the leg construction is a lead over the mover key — if
+    ``stays`` comes straight from :func:`stay_points` the frame is
+    already hash-partitioned by that key, so the window adds NO exchange
+    (only a sort) — then ONE shuffle on the (from, to) cell pair with
+    map-side partial counts. Flow output cardinality is bounded by
+    touched cell pairs, not movers.
+
+    Output: (from_x, from_y, to_x, to_y, n_trips, avg_transit_s) at
+    zoom ``z``; intra-cell legs (same tile) are kept — dropping them is
+    a caller-side filter, not a semantic default.
+    """
+    from osmgraft.operators.tiles import tile_xy
+
+    w = Window.partitionBy(user_col).orderBy(start_col)
+    legs = (
+        stays.withColumn("_nlat", F.lead(lat_col).over(w))
+        .withColumn("_nlon", F.lead(lon_col).over(w))
+        .withColumn("_nstart", F.lead(start_col).over(w))
+        .where(F.col("_nlat").isNotNull())
+    )
+    fx, fy = tile_xy(F.col(lat_col), F.col(lon_col), z)
+    tx, ty = tile_xy(F.col("_nlat"), F.col("_nlon"), z)
+    return (
+        legs.select(
+            fx.alias("from_x"),
+            fy.alias("from_y"),
+            tx.alias("to_x"),
+            ty.alias("to_y"),
+            (F.col("_nstart") - F.col(end_col)).alias("_transit"),
+        )
+        .groupBy("from_x", "from_y", "to_x", "to_y")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.avg("_transit").alias("avg_transit_s"),
+        )
+    )

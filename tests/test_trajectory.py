@@ -80,3 +80,40 @@ def test_single_shuffle_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert not re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert "Python" not in plan
+
+
+def test_od_flows_from_stays(spark):
+    from osmgraft.operators.trajectory import od_flows
+
+    # user 1: three stays A -> B -> A; user 2: one stay (no leg)
+    stays = spark.createDataFrame(
+        [
+            (1, 1, 0, 1000, 48.0, 9.0),
+            (1, 2, 2000, 3000, 48.0, 12.5),  # different z7 tile (2.8 deg/tile)
+            (1, 3, 5000, 6000, 48.0, 9.0),
+            (2, 1, 0, 1000, -30.0, 100.0),
+        ],
+        "user_id long, stay_seq long, t_start long, t_end long, lat double, lon double",
+    )
+    out = od_flows(stays, z=7).collect()
+    flows = {(r.from_x, r.from_y, r.to_x, r.to_y): (r.n_trips, r.avg_transit_s) for r in out}
+    assert len(flows) == 2
+    # legs: A->B transit 2000-1000=1000; B->A transit 5000-3000=2000
+    assert sorted(v for v in flows.values()) == [(1, 1000.0), (1, 2000.0)]
+    # directionality: the two flows are reverses of each other
+    keys = list(flows)
+    assert keys[0][:2] == keys[1][2:] and keys[0][2:] == keys[1][:2]
+
+
+def test_od_flows_intra_cell_leg_kept(spark):
+    from osmgraft.operators.trajectory import od_flows
+
+    stays = spark.createDataFrame(
+        [(5, 1, 0, 100, 10.0, 10.0), (5, 2, 400, 500, 10.0001, 10.0001)],
+        "user_id long, stay_seq long, t_start long, t_end long, lat double, lon double",
+    )
+    out = od_flows(stays, z=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.from_x, r.from_y) == (r.to_x, r.to_y)
+    assert r.n_trips == 1 and r.avg_transit_s == 300.0

@@ -788,6 +788,21 @@ def main() -> None:
         ("stay points — one-shuffle spatial sessionization", p41, notes41)
     )
 
+    # 42. OD flows — the leg lead rides the stay partitioning (window
+    # adds no exchange over the stay fold's); one more shuffle on the
+    # (from, to) cell pair with map-side partial counts.
+    q42 = entry_mod.queries()["od_flows"](spark, SF)
+    p42 = plan_of(q42)
+    notes42 = [
+        f"two wide exchanges total (mover fold + cell-pair agg): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p42)) == 2}",
+        f"cell-pair counts partially aggregated map-side: {'partial_count' in p42 or 'partial' in p42}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p42)}",
+        f"pure Catalyst (no Python): {'Python' not in p42}",
+    ]
+    sections.append(("OD flows — lead rides the stay partitioning", p42, notes42))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
