@@ -1418,6 +1418,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("lon", 4).alias("lon"),
         )
 
+    def q_smooth_box(spark, sf):
+        from osmgraft.operators.raster import rasterize, smooth_box
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        sm = smooth_box(rasterize(pts, z=6, px=64), px=64, radius=1)
+        return sm.select(
+            "tile_z",
+            "tile_x",
+            "tile_y",
+            "px_x",
+            "px_y",
+            F.round("value", 4).alias("value"),
+        )
+
+    def q_rog(spark, sf):
+        from osmgraft.operators.sessions import _epoch_seconds
+        from osmgraft.operators.trajectory import radius_of_gyration
+
+        ev = _read(spark, sf, "events")
+        fixes = ev.select(
+            "user_id",
+            ((F.col("user_id") % 120).cast("double") / 2.0 + F.col("value") % 0.01).alias("lat"),
+            ((F.col("user_id") * 37 % 360).cast("double") - 180.0 + F.col("value") % 0.01).alias("lon"),
+        )
+        out = radius_of_gyration(fixes)
+        return out.select(
+            "user_id", "n_fixes", F.round("rog_m", 4).alias("rog_m")
+        )
+
     def q_od_flows(spark, sf):
         from osmgraft.operators.trajectory import od_flows
 
@@ -2101,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_compact": q_s2_compact,
         "stay_points": q_stay_points,
         "od_flows": q_od_flows,
+        "smooth_box": q_smooth_box,
+        "radius_of_gyration": q_rog,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -2635,6 +2666,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_first": _doc_dedup_oracle_sql(),
         "s2_cells": _s2_oracle_sql(level=12),
         "s2_compact": _s2_compact_oracle_sql(13, 10),
+        "smooth_box": (
+            f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select least(cast(floor((lon+180.0)/360.0*4096) as bigint), 4095) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*4096), 0), 4095) as bigint) as gy "
+            "from src), "
+            "cells as (select gx, gy, cast(count(*) as double) as v from px group by 1,2), "
+            "h as (select gx + d as gx, gy, sum(v) as v from cells "
+            "cross join (select unnest(generate_series(-1, 1)) as d) ds "
+            "where gx + d >= 0 and gx + d < 4096 group by 1, 2), "
+            "v2 as (select gx, gy + d as gy, sum(v) as v from h "
+            "cross join (select unnest(generate_series(-1, 1)) as d) ds "
+            "where gy + d >= 0 and gy + d < 4096 group by 1, 2) "
+            "select 6 as tile_z, gx//64 as tile_x, gy//64 as tile_y, "
+            "gx%64 as px_x, gy%64 as px_y, round(v/9.0, 4) as value from v2"
+        ),
+        "radius_of_gyration": (
+            "with fx as (select user_id, "
+            "cast(user_id % 120 as double)/2.0 + value % 0.01 as lat, "
+            "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
+            "cent as (select *, avg(lat) over w as clat, avg(lon) over w as clon from fx "
+            "window w as (partition by user_id)), "
+            "d as (select user_id, "
+            "2*6371008.8*asin(sqrt(pow(sin(radians(lat-clat)/2),2) + "
+            "cos(radians(clat))*cos(radians(lat))*pow(sin(radians(lon-clon)/2),2))) as dist from cent) "
+            "select user_id, count(*) as n_fixes, "
+            "round(sqrt(avg(dist*dist)), 4) as rog_m from d group by 1"
+        ),
         "stay_points": _stay_oracle_sql(rounded=True),
         "od_flows": (
             "with stays as (" + _stay_oracle_sql(rounded=False) + "), "

@@ -185,6 +185,92 @@ def idw_grid(
     )
 
 
+def smooth_box(
+    raster: DataFrame, px: int = 256, radius: int = 1, passes: str = "separable"
+) -> DataFrame:
+    """Box-filter smoothing of a sparse raster (mean over the
+    ``(2r+1)^2`` neighborhood, absent pixels contribute 0) — the
+    standard KDE-ish post-pass over a ``rasterize`` density before
+    contouring or tiling.
+
+    ``passes='separable'`` exploits box-filter separability: one
+    horizontal 1-D scatter (fan-out ``2r+1``) + groupBy, then the same
+    vertically — total shuffle volume ``~2(2r+1)|cells|`` instead of the
+    naive 2-D scatter's ``(2r+1)^2|cells|``; at r=3 that is 7+7 vs 49
+    rows per cell, and the win grows quadratically with radius.
+    ``passes='direct'`` keeps the one-shuffle 2-D scatter (can win only
+    at r=1 where a second exchange dominates the saved fan-out).
+
+    The mean divides by the FULL window size ``(2r+1)^2``
+    (zero-padding semantics, standard for density surfaces) — exactly
+    what makes the two 1-D sums compose (sum_2d = sum_y(sum_x)); the
+    constant division happens once at the end, so both paths agree per
+    pixel up to float summation order. Scattered contributions falling
+    outside the global z-grid are dropped (edge clip, no wrap).
+
+    Input/output schema: the ``rasterize`` grid ``(tile_z, tile_x,
+    tile_y, px_x, px_y, value)`` at tile width ``px``.
+    """
+    if passes not in ("separable", "direct"):
+        raise ValueError(f"unknown passes mode '{passes}'")
+    k = 2 * radius + 1
+    off = F.sequence(F.lit(-radius), F.lit(radius))
+    n = F.pow(F.lit(2.0), F.col("tile_z")) * float(px)
+
+    def in_grid(df: DataFrame) -> DataFrame:
+        return df.where(
+            (F.col("_gx") >= 0)
+            & (F.col("_gx") < n)
+            & (F.col("_gy") >= 0)
+            & (F.col("_gy") < n)
+        )
+
+    def scatter_1d(df: DataFrame, axis: str) -> DataFrame:
+        gx = F.col("_gx") + (F.col("_d") if axis == "x" else F.lit(0))
+        gy = F.col("_gy") + (F.col("_d") if axis == "y" else F.lit(0))
+        fanned = df.withColumn("_d", F.explode(off)).select(
+            "tile_z", gx.alias("_gx"), gy.alias("_gy"), "_v"
+        )
+        return (
+            in_grid(fanned)
+            .groupBy("tile_z", "_gx", "_gy")
+            .agg(F.sum("_v").alias("_v"))
+        )
+
+    cells = raster.select(
+        "tile_z",
+        (F.col("tile_x") * px + F.col("px_x")).alias("_gx"),
+        (F.col("tile_y") * px + F.col("px_y")).alias("_gy"),
+        F.col("value").cast("double").alias("_v"),
+    )
+    if passes == "separable":
+        out = scatter_1d(scatter_1d(cells, "x"), "y")
+    else:
+        fanned = (
+            cells.withColumn("_dx", F.explode(off))
+            .withColumn("_dy", F.explode(off))
+            .select(
+                "tile_z",
+                (F.col("_gx") + F.col("_dx")).alias("_gx"),
+                (F.col("_gy") + F.col("_dy")).alias("_gy"),
+                "_v",
+            )
+        )
+        out = (
+            in_grid(fanned)
+            .groupBy("tile_z", "_gx", "_gy")
+            .agg(F.sum("_v").alias("_v"))
+        )
+    return out.select(
+        "tile_z",
+        (F.col("_gx") / px).cast("long").alias("tile_x"),
+        (F.col("_gy") / px).cast("long").alias("tile_y"),
+        (F.col("_gx") % px).cast("long").alias("px_x"),
+        (F.col("_gy") % px).cast("long").alias("px_y"),
+        (F.col("_v") / float(k * k)).alias("value"),
+    )
+
+
 def vectorize_runs(raster: DataFrame, px: int = 256) -> DataFrame:
     """Raster -> vector with maximal horizontal run-length merging:
     consecutive equal-valued pixels in a global pixel row collapse into

@@ -88,6 +88,38 @@ def stay_points(
     )
 
 
+def radius_of_gyration(
+    fixes: DataFrame,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-mover radius of gyration — sqrt of the mean squared haversine
+    distance of fixes from the mover's centroid (plain lat/lon average;
+    adequate away from the poles/antimeridian, same caveat as any
+    lat/lon centroid) — THE standard scale-of-movement summary of
+    mobility datasets (Gonzalez et al., "Understanding individual human
+    mobility patterns").
+
+    ONE hash shuffle: the centroid is an unordered analytic window over
+    the mover partition, and the squared-distance reduction is a
+    same-key aggregate riding that partitioning. Output:
+    ``(user, n_fixes, rog_m)``.
+    """
+    w = Window.partitionBy(user_col)
+    clat = F.avg(lat_col).over(w)
+    clon = F.avg(lon_col).over(w)
+    d = haversine_m(clat, clon, F.col(lat_col), F.col(lon_col))
+    return (
+        fixes.withColumn("_d2", d * d)
+        .groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_fixes"),
+            F.sqrt(F.avg("_d2")).alias("rog_m"),
+        )
+    )
+
+
 def od_flows(
     stays: DataFrame,
     z: int = 7,

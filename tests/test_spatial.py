@@ -827,6 +827,52 @@ def test_vectorize_runs_merges_rows(spark):
     assert merged["south"] < 0.0 <= merged["north"]  # lat 0 sits on the row edge
 
 
+def test_smooth_box_single_pixel_spreads_mean(spark):
+    from osmgraft.operators.raster import smooth_box
+
+    ras = spark.createDataFrame(
+        [(4, 2, 3, 10, 20, 9)],
+        "tile_z long, tile_x long, tile_y long, px_x long, px_y long, value long",
+    )
+    out = smooth_box(ras, px=64, radius=1).collect()
+    # value 9 spreads over the 3x3 neighborhood as mean 9/9 = 1.0
+    assert len(out) == 9
+    assert all(r["value"] == 1.0 for r in out)
+    xs = sorted(r["tile_x"] * 64 + r["px_x"] for r in out)
+    assert xs[0] == 2 * 64 + 9 and xs[-1] == 2 * 64 + 11
+
+
+def test_smooth_box_separable_equals_direct_and_conserves(spark):
+    from osmgraft.operators.raster import rasterize, smooth_box
+
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in zip(rng.uniform(-60, 60, 300), rng.uniform(-170, 170, 300))],
+        "lat double, lon double",
+    )
+    ras = rasterize(pts, z=5, px=32)  # integer counts -> exact float sums
+    key = lambda r: (r["tile_x"], r["tile_y"], r["px_x"], r["px_y"])  # noqa: E731
+    sep = {key(r): r["value"] for r in smooth_box(ras, px=32, radius=2).collect()}
+    dct = {key(r): r["value"] for r in smooth_box(ras, px=32, radius=2, passes="direct").collect()}
+    assert sep == dct  # integer-valued sums: bit-identical across paths
+    # mass conservation (each input v spreads v/k^2 to k^2 pixels):
+    # output values sum to the input count; no pixel near the grid edge
+    assert abs(sum(sep.values()) - 300) < 1e-6
+
+
+def test_smooth_box_bad_mode_raises(spark):
+    import pytest as _pytest
+
+    from osmgraft.operators.raster import smooth_box
+
+    ras = spark.createDataFrame(
+        [(4, 0, 0, 0, 0, 1)],
+        "tile_z long, tile_x long, tile_y long, px_x long, px_y long, value long",
+    )
+    with _pytest.raises(ValueError, match="unknown passes"):
+        smooth_box(ras, px=64, passes="diagonal")
+
+
 def test_vectorize_runs_never_merges_across_values(spark):
     from osmgraft.operators.raster import vectorize_runs
 

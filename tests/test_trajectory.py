@@ -117,3 +117,22 @@ def test_od_flows_intra_cell_leg_kept(spark):
     r = out[0]
     assert (r.from_x, r.from_y) == (r.to_x, r.to_y)
     assert r.n_trips == 1 and r.avg_transit_s == 300.0
+
+
+def test_radius_of_gyration_values(spark):
+    from osmgraft.operators.trajectory import radius_of_gyration
+
+    fx = spark.createDataFrame(
+        [
+            (1, 50.0, 10.0),            # single fix -> rog 0
+            (2, 0.0, 0.0), (2, 0.0, 0.2),  # symmetric pair on the equator
+        ],
+        "user_id long, lat double, lon double",
+    )
+    out = {r.user_id: (r.n_fixes, r.rog_m) for r in radius_of_gyration(fx).collect()}
+    assert out[1] == (1, 0.0)
+    n, rog = out[2]
+    assert n == 2
+    # centroid = midpoint; each fix ~11.12 km away (0.1 deg of equator lon)
+    expect = 0.1 / 360.0 * 2 * 3.141592653589793 * 6371008.8
+    assert abs(rog - expect) / expect < 1e-6

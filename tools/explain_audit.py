@@ -803,6 +803,37 @@ def main() -> None:
     ]
     sections.append(("OD flows — lead rides the stay partitioning", p42, notes42))
 
+    # 43. separable box smoothing — two 1-D scatters: 2(2r+1) rows/cell
+    # instead of (2r+1)^2; each pass one exchange with map-side partials.
+    q43 = entry_mod.queries()["smooth_box"](spark, SF)
+    p43 = plan_of(q43)
+    notes43 = [
+        f"three exchanges (rasterize agg + two 1-D passes): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p43)) == 3}",
+        f"sums partially aggregated map-side: {'partial_sum' in p43}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p43)}",
+        f"pure Catalyst (no Python): {'Python' not in p43}",
+    ]
+    sections.append(
+        ("separable box smoothing — 1-D scatter passes, linear fan-out", p43, notes43)
+    )
+
+    # 44. radius of gyration — unordered analytic centroid + same-key
+    # rollup: ONE exchange, no sort needed for the frameless window.
+    q44 = entry_mod.queries()["radius_of_gyration"](spark, SF)
+    p44 = plan_of(q44)
+    notes44 = [
+        f"exactly one wide exchange (mover key): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p44)) == 1}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p44)}",
+        f"pure Catalyst (no Python): {'Python' not in p44}",
+    ]
+    sections.append(
+        ("radius of gyration — one-shuffle analytic centroid fold", p44, notes44)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
