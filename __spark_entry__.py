@@ -1432,6 +1432,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("value", 4).alias("value"),
         )
 
+    def q_contours(spark, sf):
+        from osmgraft.operators.raster import contour_segments, rasterize
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        seg = contour_segments(rasterize(pts, z=5, px=64), px=64, threshold=0.5)
+        return seg.select(
+            "case_id",
+            F.round("x0", 4).alias("x0"),
+            F.round("y0", 4).alias("y0"),
+            F.round("x1", 4).alias("x1"),
+            F.round("y1", 4).alias("y1"),
+        )
+
     def q_rog(spark, sf):
         from osmgraft.operators.sessions import _epoch_seconds
         from osmgraft.operators.trajectory import radius_of_gyration
@@ -2131,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "od_flows": q_od_flows,
         "smooth_box": q_smooth_box,
+        "contour_segments": q_contours,
         "radius_of_gyration": q_rog,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ann_lsh_topk": q_ann_lsh,
@@ -2681,6 +2695,54 @@ def oracle_sql() -> dict[str, str]:
             "where gy + d >= 0 and gy + d < 4096 group by 1, 2) "
             "select 6 as tile_z, gx//64 as tile_x, gy//64 as tile_y, "
             "gx%64 as px_x, gy%64 as px_y, round(v/9.0, 4) as value from v2"
+        ),
+        "contour_segments": (
+            f"with src as (select lat, lon, least(greatest(lat, -85.05112878), 85.05112878) as lc "
+            f"from ({_PTS_SQL}) p), "
+            "px as (select least(cast(floor((lon+180.0)/360.0*2048) as bigint), 2047) as gx, "
+            "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())/2.0*2048), 0), 2047) as bigint) as gy "
+            "from src), "
+            "cells as (select gx, gy, cast(count(*) as double) as v from px group by 1,2), "
+            "fan as (select gx - dx.d as bx, gy - dy.d as by, dx.d as dx, dy.d as dy, v "
+            "from cells cross join (select unnest([0,1]) as d) dx "
+            "cross join (select unnest([0,1]) as d) dy), "
+            "blocks as (select bx, by, "
+            "coalesce(sum(case when dx=0 and dy=0 then v end), 0.0) as vtl, "
+            "coalesce(sum(case when dx=1 and dy=0 then v end), 0.0) as vtr, "
+            "coalesce(sum(case when dx=0 and dy=1 then v end), 0.0) as vbl, "
+            "coalesce(sum(case when dx=1 and dy=1 then v end), 0.0) as vbr "
+            "from fan group by 1,2), "
+            "cse as (select *, (case when vtl > 0.5 then 8 else 0 end) + "
+            "(case when vtr > 0.5 then 4 else 0 end) + "
+            "(case when vbr > 0.5 then 2 else 0 end) + "
+            "(case when vbl > 0.5 then 1 else 0 end) as c, "
+            "(vtl+vtr+vbl+vbr)/4.0 > 0.5 as ctr from blocks), "
+            "p2 as (select *, "
+            "bx + (0.5 - vtl)/(vtr - vtl) as xt, cast(by as double) as yt, "
+            "bx + 1.0 as xr, by + (0.5 - vtr)/(vbr - vtr) as yr, "
+            "bx + (0.5 - vbl)/(vbr - vbl) as xb, by + 1.0 as yb, "
+            "cast(bx as double) as xl, by + (0.5 - vtl)/(vbl - vtl) as yl "
+            "from cse where c not in (0, 15)), "
+            "seg as (select c, unnest(case "
+            "when c = 1 then [{'x0': xl,'y0': yl,'x1': xb,'y1': yb}] "
+            "when c = 2 then [{'x0': xb,'y0': yb,'x1': xr,'y1': yr}] "
+            "when c = 3 then [{'x0': xl,'y0': yl,'x1': xr,'y1': yr}] "
+            "when c = 4 then [{'x0': xt,'y0': yt,'x1': xr,'y1': yr}] "
+            "when c = 5 and ctr then [{'x0': xt,'y0': yt,'x1': xl,'y1': yl}, {'x0': xb,'y0': yb,'x1': xr,'y1': yr}] "
+            "when c = 5 then [{'x0': xt,'y0': yt,'x1': xr,'y1': yr}, {'x0': xl,'y0': yl,'x1': xb,'y1': yb}] "
+            "when c = 6 then [{'x0': xt,'y0': yt,'x1': xb,'y1': yb}] "
+            "when c = 7 then [{'x0': xl,'y0': yl,'x1': xt,'y1': yt}] "
+            "when c = 8 then [{'x0': xt,'y0': yt,'x1': xl,'y1': yl}] "
+            "when c = 9 then [{'x0': xt,'y0': yt,'x1': xb,'y1': yb}] "
+            "when c = 10 and ctr then [{'x0': xt,'y0': yt,'x1': xr,'y1': yr}, {'x0': xl,'y0': yl,'x1': xb,'y1': yb}] "
+            "when c = 10 then [{'x0': xt,'y0': yt,'x1': xl,'y1': yl}, {'x0': xb,'y0': yb,'x1': xr,'y1': yr}] "
+            "when c = 11 then [{'x0': xt,'y0': yt,'x1': xr,'y1': yr}] "
+            "when c = 12 then [{'x0': xl,'y0': yl,'x1': xr,'y1': yr}] "
+            "when c = 13 then [{'x0': xb,'y0': yb,'x1': xr,'y1': yr}] "
+            "when c = 14 then [{'x0': xl,'y0': yl,'x1': xb,'y1': yb}] "
+            "end) as s from p2) "
+            "select c as case_id, round(s.x0, 4) as x0, round(s.y0, 4) as y0, "
+            "round(s.x1, 4) as x1, round(s.y1, 4) as y1 from seg"
         ),
         "radius_of_gyration": (
             "with fx as (select user_id, "

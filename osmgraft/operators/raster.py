@@ -271,6 +271,107 @@ def smooth_box(
     )
 
 
+def contour_segments(
+    raster: DataFrame, px: int = 256, threshold: float = 0.5
+) -> DataFrame:
+    """Marching-squares contour extraction from a sparse raster: the
+    iso-line of ``value = threshold``, one row per line segment in
+    GLOBAL pixel coordinates — the classic raster -> vector bridge for
+    density surfaces (rasterize -> smooth_box -> contour is the heatmap
+    isopleth pipeline).
+
+    Mechanics: every touched pixel scatters to the 4 2x2 blocks it
+    corners (constant fan-out, same family as idw_grid/smooth_box); ONE
+    shuffle on the block anchor pivots the 4 corner values (absent
+    corners = 0 — virtual zero padding outside the data and the grid,
+    so contours CLOSE around data at the boundary); the 16-case lookup
+    plus edge interpolation then run pure-Catalyst per block, and the
+    saddle cases (5, 10) resolve on the center average — all of it
+    branch-only arithmetic that replays in ANSI SQL. Endpoints
+    interpolate linearly on the crossing edges: a referenced edge always
+    straddles the threshold, so the denominator is never 0.
+
+    Output: (case_id, x0, y0, x1, y1) with coordinates in pixel units
+    on the zoom grid (block anchor + edge fraction); convert to lat/lon
+    with the same inverse mercator as ``vectorize`` when needed.
+    """
+    cells = raster.select(
+        (F.col("tile_x") * px + F.col("px_x")).alias("_gx"),
+        (F.col("tile_y") * px + F.col("px_y")).alias("_gy"),
+        F.col("value").cast("double").alias("_v"),
+    )
+    # scatter: pixel (gx, gy) is corner (dx, dy) of block (gx-dx, gy-dy)
+    fan = (
+        cells.withColumn("_dx", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(
+            (F.col("_gx") - F.col("_dx")).alias("_bx"),
+            (F.col("_gy") - F.col("_dy")).alias("_by"),
+            "_dx",
+            "_dy",
+            "_v",
+        )
+    )
+    corner = lambda dx, dy: F.coalesce(  # noqa: E731
+        F.sum(F.when((F.col("_dx") == dx) & (F.col("_dy") == dy), F.col("_v"))),
+        F.lit(0.0),
+    )
+    blocks = fan.groupBy("_bx", "_by").agg(
+        corner(0, 0).alias("_tl"),
+        corner(1, 0).alias("_tr"),
+        corner(0, 1).alias("_bl"),
+        corner(1, 1).alias("_br"),
+    )
+    t = float(threshold)
+    hi = lambda c: F.when(F.col(c) > t, 1).otherwise(0)  # noqa: E731
+    blocks = blocks.withColumn(
+        "_c", (hi("_tl") * 8 + hi("_tr") * 4 + hi("_br") * 2 + hi("_bl")).cast("int")
+    ).where(~F.col("_c").isin(0, 15))
+    bx, by = F.col("_bx").cast("double"), F.col("_by").cast("double")
+    frac = lambda a, b: (F.lit(t) - F.col(a)) / (F.col(b) - F.col(a))  # noqa: E731
+    pts = {
+        "t": (bx + frac("_tl", "_tr"), by),
+        "r": (bx + 1.0, by + frac("_tr", "_br")),
+        "b": (bx + frac("_bl", "_br"), by + 1.0),
+        "l": (bx, by + frac("_tl", "_bl")),
+    }
+
+    def seg(a: str, b: str) -> Column:
+        (xa, ya), (xb, yb) = pts[a], pts[b]
+        return F.struct(
+            xa.alias("x0"), ya.alias("y0"), xb.alias("x1"), yb.alias("y1")
+        )
+
+    center_hi = (F.col("_tl") + F.col("_tr") + F.col("_bl") + F.col("_br")) / 4.0 > t
+    c = F.col("_c")
+    segs = (
+        F.when(c == 1, F.array(seg("l", "b")))
+        .when(c == 2, F.array(seg("b", "r")))
+        .when(c == 3, F.array(seg("l", "r")))
+        .when(c == 4, F.array(seg("t", "r")))
+        .when((c == 5) & center_hi, F.array(seg("t", "l"), seg("b", "r")))
+        .when(c == 5, F.array(seg("t", "r"), seg("l", "b")))
+        .when(c == 6, F.array(seg("t", "b")))
+        .when(c == 7, F.array(seg("l", "t")))
+        .when(c == 8, F.array(seg("t", "l")))
+        .when(c == 9, F.array(seg("t", "b")))
+        .when((c == 10) & center_hi, F.array(seg("t", "r"), seg("l", "b")))
+        .when(c == 10, F.array(seg("t", "l"), seg("b", "r")))
+        .when(c == 11, F.array(seg("t", "r")))
+        .when(c == 12, F.array(seg("l", "r")))
+        .when(c == 13, F.array(seg("b", "r")))
+        .when(c == 14, F.array(seg("l", "b")))
+    )
+    out = blocks.select("_c", F.explode(segs).alias("_s"))
+    return out.select(
+        F.col("_c").alias("case_id"),
+        F.col("_s.x0").alias("x0"),
+        F.col("_s.y0").alias("y0"),
+        F.col("_s.x1").alias("x1"),
+        F.col("_s.y1").alias("y1"),
+    )
+
+
 def vectorize_runs(raster: DataFrame, px: int = 256) -> DataFrame:
     """Raster -> vector with maximal horizontal run-length merging:
     consecutive equal-valued pixels in a global pixel row collapse into

@@ -873,6 +873,67 @@ def test_smooth_box_bad_mode_raises(spark):
         smooth_box(ras, px=64, passes="diagonal")
 
 
+def test_contour_single_pixel_diamond(spark):
+    from osmgraft.operators.raster import contour_segments
+
+    ras = spark.createDataFrame(
+        [(4, 0, 0, 5, 5, 1)],
+        "tile_z long, tile_x long, tile_y long, px_x long, px_y long, value long",
+    )
+    segs = contour_segments(ras, px=64, threshold=0.5).collect()
+    # 4 corner blocks, one segment each, edges crossed at f=0.5: the
+    # diamond with vertices at the 4 half-pixel offsets around (5,5)
+    assert len(segs) == 4
+    assert sorted(r["case_id"] for r in segs) == [1, 2, 4, 8]
+    endpoints = []
+    for r in segs:
+        endpoints += [(r["x0"], r["y0"]), (r["x1"], r["y1"])]
+    # closed loop: every vertex shared by exactly 2 segments
+    from collections import Counter
+
+    assert all(v == 2 for v in Counter(endpoints).values())
+    assert set(endpoints) == {(5.5, 5.0), (5.0, 5.5), (4.5, 5.0), (5.0, 4.5)}
+
+
+def test_contour_saddle_resolves_on_center(spark):
+    from osmgraft.operators.raster import contour_segments
+
+    # diagonal pixels high -> block (10,10) is case 10 with center == t
+    # (not >), so the low-center branch separates the two high corners
+    ras = spark.createDataFrame(
+        [(4, 0, 0, 10, 10, 1), (4, 0, 0, 11, 11, 1)],
+        "tile_z long, tile_x long, tile_y long, px_x long, px_y long, value long",
+    )
+    rows = contour_segments(ras, px=64, threshold=0.5).collect()
+    saddle = [r for r in rows if r["case_id"] == 10]
+    assert len(saddle) == 2  # two segments in the one saddle block
+    for r in rows:  # every segment has finite interpolated endpoints
+        assert all(r[c] is not None for c in ("x0", "y0", "x1", "y1"))
+
+
+def test_contour_loops_close_on_random_clusters(spark):
+    from collections import Counter
+
+    from osmgraft.operators.raster import contour_segments, rasterize
+
+    rng = np.random.default_rng(21)
+    base = rng.uniform(-50, 50, (20, 2))
+    pts = [
+        (float(la + o1), float(lo + o2))
+        for la, lo in base
+        for o1, o2 in rng.normal(0, 0.5, (30, 2))
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    segs = contour_segments(rasterize(df, z=4, px=32), px=32, threshold=0.5).collect()
+    assert segs  # clusters produce contours
+    cnt = Counter()
+    for r in segs:
+        cnt[(round(r["x0"], 6), round(r["y0"], 6))] += 1
+        cnt[(round(r["x1"], 6), round(r["y1"], 6))] += 1
+    # iso-lines of a function are closed curves: every vertex degree 2
+    assert all(v == 2 for v in cnt.values())
+
+
 def test_vectorize_runs_never_merges_across_values(spark):
     from osmgraft.operators.raster import vectorize_runs
 

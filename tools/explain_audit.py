@@ -834,6 +834,23 @@ def main() -> None:
         ("radius of gyration — one-shuffle analytic centroid fold", p44, notes44)
     )
 
+    # 45. marching-squares contours — corner scatter (fan-out 4) + ONE
+    # block-anchor pivot shuffle; 16-case lookup and edge interpolation
+    # are branch-only codegen arithmetic.
+    q45 = entry_mod.queries()["contour_segments"](spark, SF)
+    p45 = plan_of(q45)
+    notes45 = [
+        f"two wide exchanges (rasterize agg + block pivot): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p45)) == 2}",
+        f"corner pivot partially aggregated map-side: {'partial_sum' in p45}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p45)}",
+        f"pure Catalyst (no Python): {'Python' not in p45}",
+    ]
+    sections.append(
+        ("marching squares — corner scatter + one block pivot", p45, notes45)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
