@@ -420,6 +420,21 @@ def main() -> None:
     def q_scd2():
         return _entry("scd2_intervals")
 
+    def q_stay():
+        return _entry("stay_points")
+
+    def q_od():
+        return _entry("od_flows")
+
+    def q_smooth():
+        return _entry("smooth_box")
+
+    def q_contours():
+        return _entry("contour_segments")
+
+    def q_s2c():
+        return _entry("s2_compact")
+
     def q_tile_pyramid():
         from osmgraft.operators.tiles import tile_pyramid
 
@@ -488,6 +503,11 @@ def main() -> None:
         ("idw_surface", q_idw),
         ("vectorize_runs", q_vec_runs),
         ("scd2_intervals", q_scd2),
+        ("stay_points", q_stay),
+        ("od_flows", q_od),
+        ("smooth_box", q_smooth),
+        ("contour_segments", q_contours),
+        ("s2_compact", q_s2c),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),
