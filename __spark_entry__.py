@@ -1873,6 +1873,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # --- geospatial: spherical ring areas over the PIP rectangles ------------------
+    def q_ring_centroids(spark, sf):
+        from osmgraft.operators.geom import ring_centroid
+
+        n = _read(spark, sf, "nation")
+        rings = n.select(
+            F.col("n_nationkey").cast("long").alias("ring_id"),
+            ((F.col("n_nationkey") % 9).cast("double") * 9.0 - 40.5678).alias("_la"),
+            ((F.col("n_nationkey") * 29 % 300).cast("double") - 150.5678).alias("_lo"),
+        ).select(
+            "ring_id",
+            F.array(
+                F.col("_la"),
+                F.col("_la"),
+                F.col("_la") + 8.1234,
+                F.col("_la") + 8.1234,
+                F.col("_la") + 4.0,
+            ).alias("lats"),
+            F.array(
+                F.col("_lo"),
+                F.col("_lo") + 12.1234,
+                F.col("_lo") + 12.1234,
+                F.col("_lo") + 6.0,
+                F.col("_lo") + 6.0,
+            ).alias("lons"),
+        )
+        c = ring_centroid(F.col("lats"), F.col("lons"))
+        return rings.select(
+            "ring_id",
+            F.round(c["lat"], 4).alias("clat"),
+            F.round(c["lon"], 4).alias("clon"),
+        )
+
     def q_ring_areas(spark, sf):
         from osmgraft.operators.geom import ring_area_m2
 
@@ -2180,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "way_lengths": q_way_lengths,
         "ring_areas": q_ring_areas,
+        "ring_centroids": q_ring_centroids,
         "zonal_stats_boxes": q_zonal_stats,
         "asof_join_events": q_asof_join,
         "interval_join_events": q_interval_join,
@@ -2190,7 +2223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.graph import pagerank_oracle_sql
     from osmgraft.operators.curation import weighted_sample_oracle_sql
-    from osmgraft.operators.geom import polyline_length_oracle_sql, ring_area_oracle_sql
+    from osmgraft.operators.geom import (
+        polyline_length_oracle_sql,
+        ring_area_oracle_sql,
+        ring_centroid_oracle_sql,
+    )
     from osmgraft.operators.layout import geohash_oracle_sql, zorder_oracle_sql
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
@@ -3110,6 +3147,17 @@ def oracle_sql() -> dict[str, str]:
                 "select grp as way_id, list(lat order by pid) as lats, "
                 f"list(lon order by pid) as lons from ({_PTS_SQL}) p "
                 "where pid < 2000 group by grp"
+            )
+            + ")"
+        ),
+        "ring_centroids": (
+            "select ring_id, round(clat, 4) as clat, round(clon, 4) as clon from ("
+            + ring_centroid_oracle_sql(
+                "select cast(n_nationkey as bigint) as ring_id, "
+                "[la, la, la + 8.1234, la + 8.1234, la + 4.0] as lats, "
+                "[lo, lo + 12.1234, lo + 12.1234, lo + 6.0, lo + 6.0] as lons from ("
+                "select n_nationkey, (n_nationkey % 9) * 9.0 - 40.5678 as la, "
+                "(n_nationkey * 29 % 300) - 150.5678 as lo from nation)"
             )
             + ")"
         ),

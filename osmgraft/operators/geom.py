@@ -118,6 +118,70 @@ def ring_area_m2(lats: Column, lons: Column) -> Column:
     return F.when(n < 3, F.lit(0.0)).otherwise(F.abs(total) * F.lit(r * r / 2.0))
 
 
+def ring_centroid(lats: Column, lons: Column) -> Column:
+    """Area-weighted (shoelace) centroid of the ring given as parallel
+    lat/lon arrays, returned as ``struct(lat, lon)`` — the engine
+    extension next to the reference's plain dup-counting vertex average
+    (A2, `osmpoi.cpp`): the shoelace centroid is what label placement
+    wants for concave admin polygons (a C-shaped bay's vertex average
+    sits in the water).
+
+    Planar on (lon, lat) — adequate at admin/landuse scale away from
+    the antimeridian and poles, same envelope as the reference's own
+    planar centroid. Open rings fine (the fold wraps last->first).
+    Degenerate rings (< 3 points, or zero signed area — collinear)
+    fall back to the plain vertex average; the zero test is exact
+    (``== 0.0``) so the branch is engine-deterministic.
+
+    Pure Catalyst folds, no Python, no shuffle; replays in ANSI SQL
+    (:func:`ring_centroid_oracle_sql`).
+    """
+    n = F.size(lats)
+
+    def vertex(arr: Column, i: Column) -> Column:
+        return F.element_at(arr, (F.pmod(i, n) + 1).cast("int"))
+
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    x = lambda i: vertex(lons, i)  # noqa: E731
+    y = lambda i: vertex(lats, i)  # noqa: E731
+    cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+    a2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + cross(i))
+    sx = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + (x(i) + x(i + 1)) * cross(i))
+    sy = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + (y(i) + y(i + 1)) * cross(i))
+    mean_lat = F.aggregate(lats, F.lit(0.0), lambda acc, v: acc + v) / n
+    mean_lon = F.aggregate(lons, F.lit(0.0), lambda acc, v: acc + v) / n
+    degenerate = (n < 3) | (a2 == 0.0)
+    clat = F.when(degenerate, mean_lat).otherwise(sy / (3.0 * a2))
+    clon = F.when(degenerate, mean_lon).otherwise(sx / (3.0 * a2))
+    return F.struct(clat.alias("lat"), clon.alias("lon"))
+
+
+def ring_centroid_oracle_sql(rings_cte: str) -> str:
+    """DuckDB replica over ``rings_cte`` (columns ``ring_id, lats,
+    lons``): identical wrap-around cross terms; degenerate rings fall
+    back to the vertex average exactly like :func:`ring_centroid`."""
+    xi = "lons[1 + (i % n)]"
+    xi1 = "lons[1 + ((i + 1) % n)]"
+    yi = "lats[1 + (i % n)]"
+    yi1 = "lats[1 + ((i + 1) % n)]"
+    cross = f"({xi}*{yi1} - {xi1}*{yi})"
+    return (
+        f"with gc_r as (select *, len(lats) as n from ({rings_cte})), "
+        "gc_e as (select ring_id, unnest(range(0, greatest(n, 1))) as i from gc_r), "
+        "gc_t as (select e.ring_id, "
+        f"sum({cross}) as a2, "
+        f"sum(({xi} + {xi1}) * {cross}) as sx, "
+        f"sum(({yi} + {yi1}) * {cross}) as sy "
+        "from gc_e e join gc_r r using (ring_id) group by e.ring_id), "
+        "gc_m as (select ring_id, list_sum(lats)/n as mlat, list_sum(lons)/n as mlon "
+        "from gc_r) "
+        "select r.ring_id, "
+        "case when r.n < 3 or t.a2 = 0.0 then m.mlat else t.sy/(3.0*t.a2) end as clat, "
+        "case when r.n < 3 or t.a2 = 0.0 then m.mlon else t.sx/(3.0*t.a2) end as clon "
+        "from gc_r r left join gc_t t using (ring_id) join gc_m m using (ring_id)"
+    )
+
+
 def ring_area_oracle_sql(rings_cte: str) -> str:
     """DuckDB replica over ``rings_cte`` (columns ``ring_id, lats,
     lons``): identical wrap-around edge terms summed in index order."""

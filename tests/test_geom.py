@@ -236,3 +236,48 @@ def test_ring_area_antimeridian_crossing(spark):
     }
     assert got[1] == pytest.approx(got[2], rel=1e-9)
     assert got[1] == pytest.approx(_ca_area(*seam[1:]), rel=1e-12)
+
+
+def _centroids(spark, rows):
+    from osmgraft.operators.geom import ring_centroid
+
+    df = spark.createDataFrame(rows, "ring_id long, lats array<double>, lons array<double>")
+    c = ring_centroid(F.col("lats"), F.col("lons"))
+    return {
+        r["ring_id"]: (r["c"]["lat"], r["c"]["lon"])
+        for r in df.select("ring_id", c.alias("c")).collect()
+    }
+
+
+def test_ring_centroid_square_and_orientation(spark):
+    sq_ccw = (1, [0.0, 0.0, 2.0, 2.0], [0.0, 2.0, 2.0, 0.0])
+    sq_cw = (2, [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0])
+    got = _centroids(spark, [sq_ccw, sq_cw])
+    # a square's centroid is its center, independent of winding
+    assert got[1] == pytest.approx((1.0, 1.0), abs=1e-12)
+    assert got[2] == pytest.approx((1.0, 1.0), abs=1e-12)
+
+
+def test_ring_centroid_concave_differs_from_vertex_mean(spark):
+    # L-shape made of a 3x1 foot plus a 1x2 column (total area 5),
+    # symmetric under lat<->lon swap; decomposing into rectangles gives
+    # the area-weighted centroid (1.1, 1.1)
+    lshape = (
+        7,
+        [0.0, 0.0, 1.0, 1.0, 3.0, 3.0],   # lat = y
+        [0.0, 3.0, 3.0, 1.0, 1.0, 0.0],   # lon = x
+    )
+    got = _centroids(spark, [lshape])
+    clat, clon = got[7]
+    assert clat == pytest.approx(1.1, abs=1e-12)
+    assert clon == pytest.approx(1.1, abs=1e-12)
+    # vertex average is NOT the area centroid for concave rings
+    assert abs(sum(lshape[1]) / 6 - clat) > 0.1
+
+
+def test_ring_centroid_degenerate_falls_back_to_mean(spark):
+    collinear = (3, [0.0, 1.0, 2.0], [0.0, 1.0, 2.0])
+    two_pts = (4, [5.0, 7.0], [10.0, 12.0])
+    got = _centroids(spark, [collinear, two_pts])
+    assert got[3] == pytest.approx((1.0, 1.0), abs=1e-12)
+    assert got[4] == pytest.approx((6.0, 11.0), abs=1e-12)
