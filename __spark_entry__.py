@@ -1853,18 +1853,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tile_pyramid(pts, z_max=8, z_min=5, rank_col="pid")
 
     # --- geospatial: geodesic polyline length over derived ways --------------------
-    def q_way_lengths(spark, sf):
-        from osmgraft.operators.geom import polyline_length_m
-
+    def _ways(spark, sf):
         pts = _pts(spark, sf).where(F.col("pid") < 2000)
         w = pts.groupBy(F.col("grp").alias("way_id")).agg(
             F.sort_array(F.collect_list(F.struct("pid", "lat", "lon"))).alias("_s")
         )
-        w = w.select(
+        return w.select(
             "way_id",
             F.expr("transform(_s, x -> x.lat)").alias("lats"),
             F.expr("transform(_s, x -> x.lon)").alias("lons"),
         )
+
+    def q_way_midpoints(spark, sf):
+        from osmgraft.operators.geom import polyline_point_at
+
+        w = _ways(spark, sf)
+        p = polyline_point_at(F.col("lats"), F.col("lons"), frac=0.5)
+        return w.select(
+            "way_id",
+            F.round(p["lat"], 4).alias("plat"),
+            F.round(p["lon"], 4).alias("plon"),
+        )
+
+    def q_way_lengths(spark, sf):
+        from osmgraft.operators.geom import polyline_length_m
+
+        w = _ways(spark, sf)
         return w.select(
             "way_id",
             F.round(
@@ -2213,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "way_lengths": q_way_lengths,
         "ring_areas": q_ring_areas,
         "ring_centroids": q_ring_centroids,
+        "way_midpoints": q_way_midpoints,
         "zonal_stats_boxes": q_zonal_stats,
         "asof_join_events": q_asof_join,
         "interval_join_events": q_interval_join,
@@ -2225,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
     from osmgraft.operators.curation import weighted_sample_oracle_sql
     from osmgraft.operators.geom import (
         polyline_length_oracle_sql,
+        polyline_point_at_oracle_sql,
         ring_area_oracle_sql,
         ring_centroid_oracle_sql,
     )
@@ -3147,6 +3163,16 @@ def oracle_sql() -> dict[str, str]:
                 "select grp as way_id, list(lat order by pid) as lats, "
                 f"list(lon order by pid) as lons from ({_PTS_SQL}) p "
                 "where pid < 2000 group by grp"
+            )
+            + ")"
+        ),
+        "way_midpoints": (
+            "select way_id, round(plat, 4) as plat, round(plon, 4) as plon from ("
+            + polyline_point_at_oracle_sql(
+                "select grp as way_id, list(lat order by pid) as lats, "
+                f"list(lon order by pid) as lons from ({_PTS_SQL}) p "
+                "where pid < 2000 group by grp",
+                frac=0.5,
             )
             + ")"
         ),

@@ -156,6 +156,118 @@ def ring_centroid(lats: Column, lons: Column) -> Column:
     return F.struct(clat.alias("lat"), clon.alias("lon"))
 
 
+def polyline_point_at(lats: Column, lons: Column, frac: float = 0.5) -> Column:
+    """Point at ``frac`` of the geodesic length along the polyline (lat/
+    lon parallel arrays), returned as ``struct(lat, lon)`` — the street-
+    label anchor op (``frac=0.5`` = the way midpoint, where a road label
+    sits; the reference anchors labels at node/centroid positions only).
+
+    Two pure-Catalyst folds, no Python, no shuffle: one for the total
+    haversine length, one that walks segments carrying the CUMULATIVE
+    length (not a remaining-distance subtraction — the running sum is
+    the same left-associated IEEE addition chain the SQL replica's
+    ordered window sum produces, so the segment choice and the linear
+    interpolation are bit-identical across engines by construction).
+    Zero-length segments take the segment's start vertex instead of
+    dividing by zero; fp undershoot at ``frac=1`` falls through to the
+    last vertex; single-point lines return that point.
+    """
+    n = F.size(lats)
+
+    def v(arr: Column, i) -> Column:
+        return F.element_at(arr, F.lit(i + 1) if isinstance(i, int) else (i + 1).cast("int"))
+
+    seg = lambda i: haversine_m(  # noqa: E731
+        v(lats, i), v(lons, i), v(lats, i + 1), v(lons, i + 1)
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    total = F.when(
+        n < 2, F.lit(0.0)
+    ).otherwise(F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + seg(i)))
+    target = total * F.lit(float(frac))
+
+    def walk(acc: Column, i: Column) -> Column:
+        s = seg(i)
+        new_cum = acc["cum"] + s
+        t = (target - acc["cum"]) / s
+        hit_lat = F.when(s > 0.0, v(lats, i) + (v(lats, i + 1) - v(lats, i)) * t).otherwise(
+            v(lats, i)
+        )
+        hit_lon = F.when(s > 0.0, v(lons, i) + (v(lons, i + 1) - v(lons, i)) * t).otherwise(
+            v(lons, i)
+        )
+        hit = F.struct(
+            new_cum.alias("cum"),
+            hit_lat.alias("lat"),
+            hit_lon.alias("lon"),
+            F.lit(True).alias("done"),
+        )
+        step = F.struct(
+            new_cum.alias("cum"),
+            acc["lat"].alias("lat"),
+            acc["lon"].alias("lon"),
+            F.lit(False).alias("done"),
+        )
+        return F.when(acc["done"], acc).when(new_cum >= target, hit).otherwise(step)
+
+    init = F.struct(
+        F.lit(0.0).alias("cum"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(False).alias("done"),
+    )
+    walked = F.aggregate(idx, init, walk)
+    last = F.element_at(lats, -1), F.element_at(lons, -1)
+    out_lat = F.when(n < 2, F.element_at(lats, 1)).when(
+        walked["done"], walked["lat"]
+    ).otherwise(last[0])
+    out_lon = F.when(n < 2, F.element_at(lons, 1)).when(
+        walked["done"], walked["lon"]
+    ).otherwise(last[1])
+    return F.struct(out_lat.alias("lat"), out_lon.alias("lon"))
+
+
+def polyline_point_at_oracle_sql(ways_cte: str, frac: float = 0.5) -> str:
+    """DuckDB replica over ``ways_cte`` (columns ``way_id, lats, lons``):
+    ordered cumulative segment sums reproduce the fold's addition chain;
+    the first segment whose cumulative length reaches ``frac * total``
+    interpolates with the identical expression."""
+    hav = (
+        "2*6371008.8*asin(sqrt(pow(sin(radians(la2-la1)/2),2) + "
+        "cos(radians(la1))*cos(radians(la2))*pow(sin(radians(lo2-lo1)/2),2)))"
+    )
+    return (
+        f"with pw_w as (select *, len(lats) as n from ({ways_cte})), "
+        "pw_seg as (select way_id, i, lats[i] as la1, lons[i] as lo1, "
+        "lats[i+1] as la2, lons[i+1] as lo2 "
+        "from pw_w, unnest(range(1, greatest(len(lats), 1))) as t(i)), "
+        f"pw_len as (select *, {hav} as s from pw_seg), "
+        "pw_c0 as (select *, sum(s) over (partition by way_id order by i "
+        "rows unbounded preceding) as cum from pw_len), "
+        # cumprev must be the SAME left-associated chain as the fold's
+        # accumulator, i.e. the previous row's cum — NOT cum - s, which
+        # is a different IEEE rounding sequence
+        "pw_cum as (select *, coalesce(lag(cum) over (partition by way_id "
+        "order by i), 0.0) as cumprev from pw_c0), "
+        f"pw_tgt as (select way_id, max(cum) * {float(frac)!r} as target "
+        "from pw_cum group by way_id), "
+        "pw_hit as (select c.way_id, c.i, c.s, c.cum, c.cumprev, "
+        "c.la1, c.lo1, c.la2, c.lo2, t.target, "
+        "row_number() over (partition by c.way_id order by c.i) as rk "
+        "from pw_cum c join pw_tgt t using (way_id) where c.cum >= t.target), "
+        "pw_pt as (select way_id, "
+        "case when s > 0.0 then la1 + (la2 - la1) * ((target - cumprev) / s) else la1 end as plat, "
+        "case when s > 0.0 then lo1 + (lo2 - lo1) * ((target - cumprev) / s) else lo1 end as plon "
+        "from pw_hit where rk = 1) "
+        "select w.way_id, "
+        "case when w.n < 2 then w.lats[1] "
+        "when p.plat is not null then p.plat else w.lats[w.n] end as plat, "
+        "case when w.n < 2 then w.lons[1] "
+        "when p.plon is not null then p.plon else w.lons[w.n] end as plon "
+        "from pw_w w left join pw_pt p using (way_id)"
+    )
+
+
 def ring_centroid_oracle_sql(rings_cte: str) -> str:
     """DuckDB replica over ``rings_cte`` (columns ``ring_id, lats,
     lons``): identical wrap-around cross terms; degenerate rings fall

@@ -281,3 +281,34 @@ def test_ring_centroid_degenerate_falls_back_to_mean(spark):
     got = _centroids(spark, [collinear, two_pts])
     assert got[3] == pytest.approx((1.0, 1.0), abs=1e-12)
     assert got[4] == pytest.approx((6.0, 11.0), abs=1e-12)
+
+
+def _point_at(spark, rows, frac):
+    from osmgraft.operators.geom import polyline_point_at
+
+    df = spark.createDataFrame(rows, "way_id long, lats array<double>, lons array<double>")
+    p = polyline_point_at(F.col("lats"), F.col("lons"), frac=frac)
+    return {r["way_id"]: (r["p"]["lat"], r["p"]["lon"]) for r in df.select("way_id", p.alias("p")).collect()}
+
+
+def test_point_at_midpoint_of_uniform_line(spark):
+    # equator line, 3 equal segments: frac=0.5 is mid of segment 2
+    line = [(1, [0.0, 0.0, 0.0, 0.0], [0.0, 1.0, 2.0, 3.0])]
+    lat, lon = _point_at(spark, line, 0.5)[1]
+    assert lat == pytest.approx(0.0, abs=1e-12)
+    assert lon == pytest.approx(1.5, abs=1e-9)
+
+
+def test_point_at_endpoints_and_single_point(spark):
+    line = [(1, [10.0, 20.0], [30.0, 40.0]), (2, [5.0], [6.0])]
+    assert _point_at(spark, line, 0.0)[1] == pytest.approx((10.0, 30.0), abs=1e-12)
+    assert _point_at(spark, line, 1.0)[1] == pytest.approx((20.0, 40.0), abs=1e-9)
+    assert _point_at(spark, line, 0.5)[2] == (5.0, 6.0)
+
+
+def test_point_at_skips_zero_length_segments(spark):
+    # duplicate vertex mid-line: walk must not divide by zero
+    line = [(3, [0.0, 0.0, 0.0, 0.0], [0.0, 1.0, 1.0, 2.0])]
+    lat, lon = _point_at(spark, line, 0.5)[3]
+    assert lat == pytest.approx(0.0, abs=1e-12)
+    assert lon == pytest.approx(1.0, abs=1e-9)
