@@ -2122,6 +2122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return pts.select("pid", geohash(F.col("lat"), F.col("lon"), 7).alias("gh"))
 
+    def q_quadkeys(spark, sf):
+        from osmgraft.operators.layout import quadkey
+
+        pts = _pts(spark, sf)
+        return pts.select("pid", quadkey(F.col("lat"), F.col("lon"), 12).alias("qk"))
+
     # --- layout: Morton-range-accelerated exact box query --------------------------
     def q_zorder_box(spark, sf):
         from osmgraft.operators.layout import box_query
@@ -2153,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_upsert": q_cdc,
         "scd2_intervals": q_scd2,
         "geohash_cells": q_geohash,
+        "quadkeys": q_quadkeys,
         "rasterize_density": q_rasterize,
         "raster_vectorize": q_raster_vectorize,
         "idw_surface": q_idw_surface,
@@ -2244,7 +2251,11 @@ def oracle_sql() -> dict[str, str]:
         ring_area_oracle_sql,
         ring_centroid_oracle_sql,
     )
-    from osmgraft.operators.layout import geohash_oracle_sql, zorder_oracle_sql
+    from osmgraft.operators.layout import (
+        geohash_oracle_sql,
+        quadkey_oracle_sql,
+        zorder_oracle_sql,
+    )
     from osmgraft.operators.temporal import asof_oracle_sql
     from osmgraft.operators.sketch import (
         cms_oracle_sql,
@@ -3151,6 +3162,7 @@ def oracle_sql() -> dict[str, str]:
         # ops evaluate identically in both engines
         "zorder_keys": zorder_oracle_sql(_PTS_SQL, bits=16),
         "geohash_cells": geohash_oracle_sql(_PTS_SQL, precision=7),
+        "quadkeys": quadkey_oracle_sql(_PTS_SQL, z=12),
         # per-level DIRECT aggregation (no rollup) — equality with the
         # engine's cached single-scan rollup proves the parent identity
         "tile_pyramid": " union all ".join(_tile_level_sql(z) for z in range(5, 9)),

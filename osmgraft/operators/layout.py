@@ -354,3 +354,56 @@ def geohash_oracle_sql(pts_sql: str, precision: int = 7) -> str:
         f"gh_k as (select pid, {key} as gh_key from gh_g) "
         f"select pid, {chars} as gh from gh_k"
     )
+
+
+def quadkey(lat: Column, lon: Column, z: int) -> Column:
+    """Bing-style quadkey string of the slippy tile containing (lat,
+    lon) at zoom ``z`` — the third layout key next to Morton ints and
+    geohashes: one digit per zoom level ('0'-'3', digit = 2*y_bit +
+    x_bit), so a PREFIX of a quadkey is the ancestor tile. That prefix
+    property is what makes it the natural clustering/partition key for
+    tile sinks: a z-prefix range scan reads exactly one tile subtree.
+
+    Same web-mercator tile math as operators/tiles.tile_xy, then a
+    pure-Catalyst per-level character chain — no shuffle, no Python,
+    SQL-replayable (:func:`quadkey_oracle_sql`)."""
+    if not 1 <= z <= 30:
+        raise ValueError("z must be in [1, 30]")
+    from osmgraft.operators.tiles import tile_xy
+
+    tx, ty = tile_xy(lat, lon, z)
+    digits = [
+        F.substring(
+            F.lit("0123"),
+            (
+                F.shiftrightunsigned(ty, k).bitwiseAND(F.lit(1)) * 2
+                + F.shiftrightunsigned(tx, k).bitwiseAND(F.lit(1))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for k in range(z - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_oracle_sql(pts_sql: str, z: int) -> str:
+    """DuckDB replica of :func:`quadkey` over ``pts_sql`` (columns
+    ``pid, lat, lon``): identical mercator quantization and digit
+    chain."""
+    n = 1 << z
+    gx = f"least(cast(floor((lon+180.0)/360.0*{n}) as bigint), {n - 1})"
+    gy = (
+        "cast(least(greatest(floor((1.0 - ln(tan(radians(lc)) + 1.0/cos(radians(lc)))/pi())"
+        f"/2.0*{n}), 0), {n - 1}) as bigint)"
+    )
+    digits = " || ".join(
+        f"substring('0123', cast(((ty >> {k}) & 1)*2 + ((tx >> {k}) & 1) + 1 as int), 1)"
+        for k in range(z - 1, -1, -1)
+    )
+    return (
+        f"with qk_s as (select pid, lat, lon, "
+        f"least(greatest(lat, -85.05112878), 85.05112878) as lc from ({pts_sql})), "
+        f"qk_t as (select pid, {gx} as tx, {gy} as ty from qk_s) "
+        f"select pid, {digits} as qk from qk_t"
+    )

@@ -91,3 +91,44 @@ def test_geohash_bad_precision():
         geohash(F.lit(0.0), F.lit(0.0), 0)
     with pytest.raises(ValueError):
         geohash(F.lit(0.0), F.lit(0.0), 13)
+
+
+def test_quadkey_known_value_and_prefix_property(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.layout import quadkey
+    from osmgraft.operators.tiles import tile_xy
+
+    # textbook Bing example: tile (3, 5) at z3 -> quadkey "213"
+    df = spark.createDataFrame([(40.0, -15.0)], "lat double, lon double")
+    tx, ty = tile_xy(F.col("lat"), F.col("lon"), 3)
+    row = df.select(
+        tx.alias("tx"), ty.alias("ty"), quadkey(F.col("lat"), F.col("lon"), 3).alias("qk")
+    ).collect()[0]
+    # derive expected digits from the tile coords directly
+    exp = "".join(
+        str(((row["ty"] >> k) & 1) * 2 + ((row["tx"] >> k) & 1)) for k in (2, 1, 0)
+    )
+    assert row["qk"] == exp
+
+    # prefix property: z-1 quadkey is the z quadkey minus its last digit
+    pts = spark.createDataFrame(
+        [(48.8584, 2.2945), (-33.857, 151.215), (0.0, 0.0)], "lat double, lon double"
+    )
+    both = pts.select(
+        quadkey(F.col("lat"), F.col("lon"), 10).alias("q10"),
+        quadkey(F.col("lat"), F.col("lon"), 9).alias("q9"),
+    ).collect()
+    for r in both:
+        assert len(r["q10"]) == 10 and len(r["q9"]) == 9
+        assert r["q10"][:9] == r["q9"]
+
+
+def test_quadkey_bad_zoom_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.layout import quadkey
+
+    with pytest.raises(ValueError, match="z must be"):
+        quadkey(F.col("lat"), F.col("lon"), 0)
