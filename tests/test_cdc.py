@@ -121,3 +121,38 @@ def test_scd2_intervals_unknown_op_raises(spark):
     chg = spark.createDataFrame([(1, 1, "X", "a")], "id long, seq long, op string, tag string")
     with pytest.raises(SparkRuntimeException, match="unknown op"):
         scd2_intervals(chg, key="id", attrs=["tag"]).collect()
+
+
+def test_scd2_interval_laws_on_random_changelog(spark):
+    """Property check on a seeded random changelog: per key the emitted
+    intervals are disjoint, ordered, half-open-consistent, and exactly
+    one is open iff the key's latest state is a U."""
+    import random
+
+    from osmgraft.operators.cdc import scd2_intervals
+
+    rng = random.Random(17)
+    rows = []
+    latest = {}
+    for seq in range(1, 400):
+        k = rng.randrange(12)
+        op = "D" if rng.random() < 0.2 else "U"
+        tag = rng.choice(["a", "b", "c"]) if op == "U" else None
+        rows.append((k, seq, op, tag))
+        latest[k] = op
+    chg = spark.createDataFrame(rows, "id long, seq long, op string, tag string")
+    out = scd2_intervals(chg, key="id", attrs=["tag"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["id"], []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["valid_to"] is None]
+        # exactly one open interval iff latest op is U
+        assert len(opens) == (1 if latest[k] == "U" else 0), k
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"], k
+        for r in ivs:
+            assert r["is_current"] == (r["valid_to"] is None)
+            if r["valid_to"] is not None:
+                assert r["valid_from"] < r["valid_to"]

@@ -96,6 +96,46 @@ def test_s2_compact_duplicates_dont_fake_completeness(spark):
     assert [(r["cell"], r["level"]) for r in out] == [(c, 12)]
 
 
+def test_s2_compact_uncompact_roundtrip_random(spark):
+    """Property check: expanding every output cell back to the input
+    level reproduces EXACTLY the input cell set (compaction is lossless
+    re-encoding), on a random mix of complete and partial families."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osmgraft.functions.cells import compact_cells, s2_children_expr
+
+    rng = random.Random(31)
+    base = cells.s2_cell_id(
+        [rng.uniform(-80, 80) for _ in range(40)],
+        [rng.uniform(-179, 179) for _ in range(40)],
+        10,
+    )
+    lvl = 12
+    cell_set = set()
+    for b in base:
+        # descend 10 -> 12 keeping a random subset of grandchildren
+        k11 = 1 << (2 * (30 - 11))
+        k12 = 1 << (2 * (30 - 12))
+        for d1 in (-3, -1, 1, 3):
+            c11 = int(b) + d1 * k11
+            kids = [c11 + d2 * k12 for d2 in (-3, -1, 1, 3)]
+            keep = rng.randrange(5)  # 0..4 of the 4 children
+            cell_set.update(kids[:keep])
+    df = spark.createDataFrame([(c,) for c in cell_set], "cell long")
+    out = compact_cells(df, level=lvl, min_level=8).collect()
+    # re-expand: a cell at level l covers 4^(12-l) level-12 descendants
+    expanded = set()
+    for r in out:
+        frontier = [r["cell"]]
+        for l in range(r["level"], lvl):
+            k = 1 << (2 * (30 - (l + 1)))
+            frontier = [c + d * k for c in frontier for d in (-3, -1, 1, 3)]
+        expanded.update(frontier)
+    assert expanded == cell_set
+
+
 def test_s2_locality():
     # nearby points share coarse parents; distant points don't
     a = cells.s2_cell_id([48.7758], [9.1829], 10)[0]
@@ -804,6 +844,29 @@ def test_idw_constant_field_and_weighting(spark):
     }
     assert any(0.0 < v < 10.0 for v in out.values())  # blended band exists
     assert min(out.values()) >= 0.0 and max(out.values()) <= 10.0
+
+
+def test_idw_values_are_convex_combinations(spark):
+    """Property check: IDW output is a weighted mean, so every surface
+    value lies within [min, max] of the input values."""
+    from osmgraft.operators.raster import idw_grid
+
+    rng = np.random.default_rng(13)
+    vals = rng.uniform(-5.0, 25.0, 200)
+    pts = spark.createDataFrame(
+        [
+            (float(la), float(lo), float(v))
+            for la, lo, v in zip(
+                rng.uniform(-70, 70, 200), rng.uniform(-170, 170, 200), vals
+            )
+        ],
+        "lat double, lon double, v double",
+    )
+    out = idw_grid(pts, z=4, px=32, radius=2, value_col="v").collect()
+    assert out
+    lo, hi = vals.min(), vals.max()
+    for r in out:
+        assert lo - 1e-9 <= r["value"] <= hi + 1e-9
 
 
 def test_vectorize_runs_merges_rows(spark):
