@@ -761,6 +761,193 @@ select min(doc_id) as doc_id, count(*) as n_dupes from keyed group by k
 """
 
 
+# --- map matching: deterministic trajectories along parallel road bundles ---
+_MM_RADIUS_M = 10_000.0
+_MM_SIGMA_M = 1_000.0
+_MM_BETA_M = 1_000.0
+_MM_CAND_K = 3
+
+
+def _match_inputs(spark: SparkSession, sf_dir: str):
+    """(fixes, segments) for the map-matching queries: 10 road bundles
+    (supplier 1..10, each with 8 parallel offset segments) and 10 movers
+    (customer 1..60 -> 6 fixes each) walking bundle ``u % 10 + 1`` near
+    its j=3 line with deterministic jitter. Every arithmetic step mirrors
+    the oracle SQL expression-for-expression (same association order) so
+    the fix/segment doubles are bit-identical across engines."""
+    s = _read(spark, sf_dir, "supplier").where(F.col("s_suppkey").between(1, 10))
+    k = F.col("s_suppkey").cast("long")
+    base = s.select(
+        k.alias("k"),
+        ((k % 110).cast("double") * 0.5 - 27.123).alias("by1"),
+        ((k * 53 % 340).cast("double") - 170.456).alias("bx1"),
+        (((k % 7).cast("double") - 3) * 0.8 + 0.123).alias("dy"),
+        (((k % 11).cast("double") - 5) * 0.6 + 0.234).alias("dx"),
+    )
+    segs = (
+        base.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("lat1", F.col("by1") + F.col("j") * 0.015)
+        .withColumn("lon1", F.col("bx1") + F.col("j") * 0.011)
+        .select(
+            (F.col("k") * 8 + F.col("j")).alias("sid"),
+            "lat1",
+            "lon1",
+            (F.col("lat1") + F.col("dy")).alias("lat2"),
+            (F.col("lon1") + F.col("dx")).alias("lon2"),
+        )
+    )
+    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey").between(1, 60))
+    x = (F.col("c_custkey").cast("long") - 1).alias("x")
+    fx = c.select(
+        F.col("c_custkey").cast("long").alias("fid"),
+        (x % 10).alias("user_id"),
+        F.floor(x / 10).cast("long").alias("t"),
+    )
+    fr = ((F.col("t") + 1).cast("double") / 7.0)
+    jit_la = ((F.col("fid") - 1) * 13 % 9 - 4).cast("double") * 0.004
+    jit_lo = ((F.col("fid") - 1) * 17 % 7 - 3).cast("double") * 0.005
+    fixes = (
+        fx.join(base, fx["user_id"] % 10 + 1 == base["k"])
+        .select(
+            "fid",
+            "user_id",
+            (F.col("t") * 60).alias("ts_s"),
+            (F.col("by1") + 0.045 + fr * F.col("dy") + jit_la).alias("lat"),
+            (F.col("bx1") + 0.033 + fr * F.col("dx") + jit_lo).alias("lon"),
+        )
+    )
+    return fixes, segs
+
+
+def _match_sql_ctes() -> str:
+    """Shared oracle CTE chain: segments, fixes, exact candidate distance
+    (the snap join's three-case form), snapped point, fixed-point emission,
+    per-fix top-k — replicating _match_inputs + operators/matching.py
+    term-for-term."""
+    from osmgraft.operators.knn import DEG_M
+
+    radius_deg2 = (_MM_RADIUS_M / DEG_M) ** 2
+    sig2 = (_MM_SIGMA_M / DEG_M) ** 2
+    return (
+        # every fractional literal carries e0 (double), matching Spark's
+        # double-by-double evaluation — bare literals are DECIMAL in DuckDB
+        # and an exact-decimal chain diverges from IEEE in the last ulp
+        "s0 as (select cast(s_suppkey as bigint) as k, "
+        "(s_suppkey % 110) * 0.5e0 - 27.123e0 as by1, "
+        "(s_suppkey * 53 % 340) - 170.456e0 as bx1, "
+        "((s_suppkey % 7) - 3) * 0.8e0 + 0.123e0 as dy, "
+        "((s_suppkey % 11) - 5) * 0.6e0 + 0.234e0 as dx "
+        "from supplier where s_suppkey between 1 and 10), "
+        "segs as (select k*8 + j as sid, by1 + j*0.015e0 as y1, bx1 + j*0.011e0 as x1, "
+        "by1 + j*0.015e0 + dy as y2, bx1 + j*0.011e0 + dx as x2 "
+        "from s0 cross join (select unnest([0,1,2,3,4,5,6,7]) as j)), "
+        "fx0 as (select cast(c_custkey as bigint) as fid, cast(c_custkey as bigint) - 1 as x "
+        "from customer where c_custkey between 1 and 60), "
+        "fx1 as (select fid, x % 10 as user_id, cast(floor(x / 10) as bigint) as t from fx0), "
+        "fx as (select f.fid, f.user_id, f.t * 60 as ts_s, "
+        "s.by1 + 0.045e0 + (f.t + 1) / 7.0e0 * s.dy + ((f.fid - 1)*13 % 9 - 4) * 0.004e0 as lat, "
+        "s.bx1 + 0.033e0 + (f.t + 1) / 7.0e0 * s.dx + ((f.fid - 1)*17 % 7 - 3) * 0.005e0 as lon "
+        "from fx1 f join s0 s on s.k = f.user_id % 10 + 1), "
+        "c0 as (select f.user_id, f.fid, f.ts_s, f.lat, f.lon, g.sid, "
+        "(g.x1 - f.lon) * cos(radians(f.lat)) as xa, g.y1 - f.lat as ya, "
+        "(g.x2 - f.lon) * cos(radians(f.lat)) as xb, g.y2 - f.lat as yb, "
+        "g.y1, g.x1, g.y2, g.x2 from fx f, segs g), "
+        "c1 as (select *, xb - xa as ddx, yb - ya as ddy from c0), "
+        "c2 as (select *, ddx*ddx + ddy*ddy as len2, -(xa*ddx + ya*ddy) as u from c1), "
+        "c3 as (select *, case when u <= 0 then xa*xa + ya*ya "
+        "when u >= len2 then xb*xb + yb*yb "
+        "else greatest(0.0, xa*xa + ya*ya - u*u/len2) end as d2, "
+        "case when u <= 0 then 0.0 when u >= len2 then 1.0 else u / len2 end as tt from c2), "
+        "cand as (select user_id, fid, ts_s, lat, lon, sid, "
+        "y1 + tt*(y2 - y1) as sy, x1 + tt*(x2 - x1) as sx, "
+        "cos(radians(lat)) as cl, d2, "
+        f"cast(floor(d2 / {sig2!r} * 1000000000.0 + 0.5) as bigint) as emit_i "
+        f"from c3 where d2 <= {radius_deg2!r}), "
+        "ck as (select * from (select cand.*, "
+        "row_number() over (partition by fid order by d2, sid) as rk from cand) "
+        f"where rk <= {_MM_CAND_K})"
+    )
+
+
+def _match_cand_oracle_sql() -> str:
+    from osmgraft.operators.knn import DEG_M
+
+    return (
+        f"with {_match_sql_ctes()} "
+        "select user_id, fid, ts_s, rk as cand_rank, sid, "
+        f"sqrt(d2) * {DEG_M!r} as dist_m, emit_i from ck"
+    )
+
+
+def _viterbi_oracle_sql() -> str:
+    """Path-enumeration replay of the Viterbi decode: every trellis path
+    with exact int64 fixed-point costs (identical double expressions ->
+    identical ints), global min by (cost, path-lexicographic) — equal to
+    the kernel's DP because integer sums are exact and lexicographic
+    tie-breaks extend over fixed-width suffixes (see
+    operators/matching.py module docstring)."""
+    from osmgraft.operators.knn import DEG_M
+
+    beta_deg = _MM_BETA_M / DEG_M
+    return (
+        f"with recursive {_match_sql_ctes()}, "
+        "fsteps as (select user_id, fid, ts_s, lat, lon, "
+        "row_number() over (partition by user_id order by ts_s, fid) as t "
+        "from (select distinct user_id, fid, ts_s, lat, lon from ck)), "
+        "cc as (select s.user_id, s.t, s.ts_s, s.lat as py, s.lon as px, "
+        "k.cl, k.sid, k.sy, k.sx, k.emit_i from ck k join fsteps s on s.fid = k.fid), "
+        "maxt as (select user_id, max(t) as mt from cc group by 1), "
+        "paths(user_id, t, path, cost, sy, sx, py, px, cl) as ("
+        "select user_id, t, [sid], emit_i, sy, sx, py, px, cl from cc where t = 1 "
+        "union all "
+        "select c.user_id, c.t, list_append(p.path, c.sid), "
+        "p.cost + cast(floor(abs("
+        "sqrt(((c.sx - p.sx) * p.cl)*((c.sx - p.sx) * p.cl) + (c.sy - p.sy)*(c.sy - p.sy)) - "
+        "sqrt(((c.px - p.px) * p.cl)*((c.px - p.px) * p.cl) + (c.py - p.py)*(c.py - p.py))"
+        f") / {beta_deg!r} * 1000000000.0 + 0.5) as bigint) + c.emit_i, "
+        "c.sy, c.sx, c.py, c.px, c.cl "
+        "from paths p join cc c on c.user_id = p.user_id and c.t = p.t + 1), "
+        "best as (select p.user_id, p.path from paths p "
+        "join maxt m on m.user_id = p.user_id and p.t = m.mt "
+        "qualify row_number() over (partition by p.user_id order by p.cost, p.path) = 1), "
+        "o as (select s.user_id, s.ts_s, b.path[s.t] as sid, s.t "
+        "from best b join fsteps s on s.user_id = b.user_id) "
+        "select o.user_id, o.ts_s, o.sid, c.sy as snap_lat, c.sx as snap_lon "
+        "from o join cc c on c.user_id = o.user_id and c.t = o.t and c.sid = o.sid"
+    )
+
+
+_DBSCAN_EPS_M = 200_000.0
+_DBSCAN_MIN_PTS = 3
+
+
+def _dbscan_oracle_sql(hav: str) -> str:
+    """Textbook-sequential-free DBSCAN replay: brute-force eps pairs with
+    the engine's haversine, core by neighbor count, clusters = recursive
+    min-reachable over the core-core graph, border = min core-neighbor
+    cluster (the deterministic pin, see operators/cluster.py)."""
+    return (
+        f"with recursive p as (select pid, lat, lon from ({_PTS_SQL})), "
+        "pr as (select a.pid as src, b.pid as dst from p a, p b "
+        f"where a.pid <> b.pid and {hav} <= {_DBSCAN_EPS_M!r}), "
+        "deg as (select p.pid as src, count(pr.dst) as d from p "
+        "left join pr on pr.src = p.pid group by 1), "
+        f"core as (select src as id from deg where d >= {_DBSCAN_MIN_PTS - 1}), "
+        "ce as (select pr.src, pr.dst from pr "
+        "join core x on x.id = pr.src join core y on y.id = pr.dst), "
+        "reach(id, r) as (select id, id from core union "
+        "select reach.id, ce.dst from reach join ce on ce.src = reach.r), "
+        "comp as (select id, min(r) as cluster from reach group by id), "
+        "border as (select pr.src as id, min(c.cluster) as cluster from pr "
+        "join comp c on c.id = pr.dst "
+        "where pr.src not in (select id from core) group by 1) "
+        "select p.pid, coalesce(co.cluster, bo.cluster, -1) as cluster, "
+        "case when co.id is not null then 'core' "
+        "when bo.id is not null then 'border' else 'noise' end as role "
+        "from p left join comp co on co.id = p.pid left join border bo on bo.id = p.pid"
+    )
+
+
 def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _read(spark, sf_dir, "customer")
     return c.select(
@@ -2135,6 +2322,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _pts(spark, sf)
         return box_query(pts, 10.0, 35.0, -20.0, 40.0)
 
+    # --- map matching: per-fix top-k snap candidates --------------------------------
+    def q_match_candidates(spark, sf):
+        from osmgraft.operators.matching import match_candidates
+
+        fixes, segs = _match_inputs(spark, sf)
+        out = match_candidates(
+            fixes, segs, _MM_RADIUS_M, _MM_SIGMA_M, cand_k=_MM_CAND_K
+        )
+        return out.select(
+            "user_id",
+            "fid",
+            "ts_s",
+            F.col("rank").alias("cand_rank"),
+            "sid",
+            "dist_m",
+            "emit_i",
+        )
+
+    # --- map matching: Viterbi decode over the candidate trellis --------------------
+    def q_viterbi(spark, sf):
+        from osmgraft.operators.matching import viterbi_match
+
+        fixes, segs = _match_inputs(spark, sf)
+        return viterbi_match(
+            fixes,
+            segs,
+            _MM_RADIUS_M,
+            sigma_m=_MM_SIGMA_M,
+            beta_m=_MM_BETA_M,
+            cand_k=_MM_CAND_K,
+        )
+
+    # --- density clustering: distributed DBSCAN -------------------------------------
+    def q_dbscan(spark, sf):
+        from osmgraft.operators.cluster import dbscan
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        out = dbscan(pts, eps_m=_DBSCAN_EPS_M, min_pts=_DBSCAN_MIN_PTS)
+        return out.select(
+            "pid", F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"), "role"
+        )
+
     return {
         "filter_scan": q_filter_scan,
         "classify_levels": q_classify,
@@ -2195,6 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "s2_compact": q_s2_compact,
         "stay_points": q_stay_points,
+        "match_candidates_topk": q_match_candidates,
+        "viterbi_match": q_viterbi,
+        "dbscan_clusters": q_dbscan,
         "od_flows": q_od_flows,
         "smooth_box": q_smooth_box,
         "contour_segments": q_contours,
@@ -2821,6 +3053,9 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(avg(dist*dist)), 4) as rog_m from d group by 1"
         ),
         "stay_points": _stay_oracle_sql(rounded=True),
+        "match_candidates_topk": _match_cand_oracle_sql(),
+        "viterbi_match": _viterbi_oracle_sql(),
+        "dbscan_clusters": _dbscan_oracle_sql(hav),
         "od_flows": (
             "with stays as (" + _stay_oracle_sql(rounded=False) + "), "
             "legs as (select *, lead(lat) over w as nlat, lead(lon) over w as nlon, "
