@@ -768,14 +768,17 @@ _MM_BETA_M = 1_000.0
 _MM_CAND_K = 3
 
 
-def _match_inputs(spark: SparkSession, sf_dir: str):
-    """(fixes, segments) for the map-matching queries: 10 road bundles
-    (supplier 1..10, each with 8 parallel offset segments) and 10 movers
-    (customer 1..60 -> 6 fixes each) walking bundle ``u % 10 + 1`` near
-    its j=3 line with deterministic jitter. Every arithmetic step mirrors
+def _match_inputs(spark: SparkSession, sf_dir: str, n_rows: int = 60, n_bundles: int = 10):
+    """(fixes, segments) for the map-matching queries: ``n_bundles`` road
+    bundles (supplier 1..n_bundles, each with 8 parallel offset segments)
+    and ``n_rows // 6`` movers (customer 1..n_rows -> 6 fixes each)
+    walking bundle ``u % n_bundles + 1`` near its j=3 line with
+    deterministic jitter. At the defaults every arithmetic step mirrors
     the oracle SQL expression-for-expression (same association order) so
-    the fix/segment doubles are bit-identical across engines."""
-    s = _read(spark, sf_dir, "supplier").where(F.col("s_suppkey").between(1, 10))
+    the fix/segment doubles are bit-identical across engines; larger
+    sizes feed the bench."""
+    n_users = n_rows // 6
+    s = _read(spark, sf_dir, "supplier").where(F.col("s_suppkey").between(1, n_bundles))
     k = F.col("s_suppkey").cast("long")
     base = s.select(
         k.alias("k"),
@@ -796,18 +799,18 @@ def _match_inputs(spark: SparkSession, sf_dir: str):
             (F.col("lon1") + F.col("dx")).alias("lon2"),
         )
     )
-    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey").between(1, 60))
+    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey").between(1, n_rows))
     x = (F.col("c_custkey").cast("long") - 1).alias("x")
     fx = c.select(
         F.col("c_custkey").cast("long").alias("fid"),
-        (x % 10).alias("user_id"),
-        F.floor(x / 10).cast("long").alias("t"),
+        (x % n_users).alias("user_id"),
+        F.floor(x / n_users).cast("long").alias("t"),
     )
     fr = ((F.col("t") + 1).cast("double") / 7.0)
     jit_la = ((F.col("fid") - 1) * 13 % 9 - 4).cast("double") * 0.004
     jit_lo = ((F.col("fid") - 1) * 17 % 7 - 3).cast("double") * 0.005
     fixes = (
-        fx.join(base, fx["user_id"] % 10 + 1 == base["k"])
+        fx.join(base, fx["user_id"] % n_bundles + 1 == base["k"])
         .select(
             "fid",
             "user_id",

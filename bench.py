@@ -435,6 +435,20 @@ def main() -> None:
     def q_s2c():
         return _entry("s2_compact")
 
+    def q_dbscan():
+        return _entry("dbscan_clusters")
+
+    def q_viterbi():
+        # the oracled registry query pins a 60-fix trellis; the bench
+        # scales the SAME generator to 2000 movers x 6 fixes over 100
+        # road bundles (800 segments) so the row measures the candidate
+        # join + per-mover DP at real width
+        from __spark_entry__ import _MM_RADIUS_M, _MM_SIGMA_M, _match_inputs
+        from osmgraft.operators.matching import viterbi_match
+
+        fixes, segs = _match_inputs(spark, SF_DIR, n_rows=12_000, n_bundles=100)
+        return viterbi_match(fixes, segs, _MM_RADIUS_M, sigma_m=_MM_SIGMA_M).count()
+
     def q_tile_pyramid():
         from osmgraft.operators.tiles import tile_pyramid
 
@@ -508,6 +522,8 @@ def main() -> None:
         ("smooth_box", q_smooth),
         ("contour_segments", q_contours),
         ("s2_compact", q_s2c),
+        ("dbscan_clusters", q_dbscan),
+        ("viterbi_match_12k", q_viterbi),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),

@@ -64,6 +64,9 @@ def dbscan(
         )
         .where(F.col("_id") != F.col("_id_r"))
         .select(F.col("_id").alias("src"), F.col("_id_r").alias("dst"))
+        # three consumers (degree, core-core edges, border assignment) plus
+        # the first CC round would each re-run the radius join otherwise
+        .localCheckpoint(eager=True)
     )
     # left join from the point set so zero-neighbor points carry degree 0
     # (they are cores when min_pts <= 1 — the pair set never mentions them)

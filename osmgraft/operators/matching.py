@@ -219,34 +219,26 @@ def viterbi_match(
     )
     lat, lon = fix_cols
 
-    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, fix_id, seg_id], kind="mergesort")
-        uid = pdf[user_col].iloc[0]
-        steps = []  # [(ts, [ (sid, sy, sx), ...k ], py, px, cl)]
-        for (_, fid), g in pdf.groupby([ts_col, fix_id], sort=True):
+    import numpy as np
+
+    def _decode_one(uid, ts_a, fid_a, sid_a, sy_a, sx_a, em_a, la_a, lo_a, cl_a, out):
+        """Viterbi over one mover's rows (pre-sorted by ts, fid, sid)."""
+        brk = np.flatnonzero((ts_a[1:] != ts_a[:-1]) | (fid_a[1:] != fid_a[:-1])) + 1
+        bounds = [0, *brk.tolist(), len(ts_a)]
+        steps = []  # [(ts, [ (sid, sy, sx, emit), ...k ], py, px, cl)]
+        for a, b in zip(bounds, bounds[1:]):
             steps.append(
                 (
-                    g[ts_col].iloc[0],
-                    list(
-                        zip(
-                            g[seg_id].astype("int64"),
-                            g["snap_lat"],
-                            g["snap_lon"],
-                            g["emit_i"].astype("int64"),
-                        )
-                    ),
-                    float(g[lat].iloc[0]),
-                    float(g[lon].iloc[0]),
-                    float(g["_cl"].iloc[0]),
+                    int(ts_a[a]),
+                    list(zip(sid_a[a:b].tolist(), sy_a[a:b], sx_a[a:b], em_a[a:b].tolist())),
+                    float(la_a[a]),
+                    float(lo_a[a]),
+                    float(cl_a[a]),
                 )
-            )
-        if not steps:
-            return pd.DataFrame(
-                {user_col: [], ts_col: [], seg_id: [], "snap_lat": [], "snap_lon": []}
             )
         # DP state per candidate: (cost:int, path:tuple[int]) minimized
         # under tuple order — exact ints make pruning == global argmin.
-        ts0, cands0, _, _, _ = steps[0]
+        _, cands0, _, _, _ = steps[0]
         state = [(int(e), (int(s),), sy, sx) for s, sy, sx, e in cands0]
         best_per_step = [state]
         for i in range(1, len(steps)):
@@ -266,23 +258,53 @@ def viterbi_match(
             best_per_step.append(nxt)
         final = min((c, p) for c, p, _, _ in best_per_step[-1])
         path = final[1]
-        snaps = {}
-        for i, (_, cands, _, _, _) in enumerate(steps):
+        for i, (ts, cands, _, _, _) in enumerate(steps):
             for s, sy, sx, _ in cands:
                 if int(s) == path[i]:
-                    snaps[i] = (sy, sx)
+                    out.append((uid, ts, path[i], sy, sx))
                     break
-        return pd.DataFrame(
-            {
-                user_col: [uid] * len(steps),
-                ts_col: [st[0] for st in steps],
-                seg_id: list(path),
-                "snap_lat": [snaps[i][0] for i in range(len(steps))],
-                "snap_lon": [snaps[i][1] for i in range(len(steps))],
-            }
-        )
+
+    cols = [user_col, ts_col, fix_id, seg_id, "snap_lat", "snap_lon", "emit_i", lat, lon, "_cl"]
+
+    def _decode_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        u_a = pdf[user_col].to_numpy()
+        arrs = [pdf[c].to_numpy() for c in cols[1:]]
+        ts_a, fid_a, sid_a, sy_a, sx_a, em_a, la_a, lo_a, cl_a = arrs
+        out: list = []
+        ub = np.flatnonzero(u_a[1:] != u_a[:-1]) + 1
+        for a, b in zip([0, *ub.tolist()], [*ub.tolist(), len(u_a)]):
+            _decode_one(
+                int(u_a[a]), ts_a[a:b], fid_a[a:b], sid_a[a:b], sy_a[a:b],
+                sx_a[a:b], em_a[a:b], la_a[a:b], lo_a[a:b], cl_a[a:b], out,
+            )
+        return pd.DataFrame(out, columns=[user_col, ts_col, seg_id, "snap_lat", "snap_lon"])
+
+    def _decode(batches):
+        # mapInPandas over mover-sorted partitions: many movers ride one
+        # Arrow batch (applyInPandas pays a ~ms python roundtrip PER
+        # GROUP — untenable for millions of movers). A mover split across
+        # batch boundaries is buffered until its last row arrives.
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            u_a = pdf[user_col].to_numpy()
+            cut = int(np.searchsorted(u_a, u_a[-1], side="left"))
+            if cut == 0:
+                buf = pdf
+                continue
+            buf = pdf.iloc[cut:]
+            yield _decode_frame(pdf.iloc[:cut])
+        if buf is not None and len(buf):
+            yield _decode_frame(buf)
 
     schema = (
         f"{user_col} long, {ts_col} long, {seg_id} long, snap_lat double, snap_lon double"
     )
-    return cand.groupBy(user_col).applyInPandas(_decode, schema)
+    part = cand.select(*cols).repartition(user_col).sortWithinPartitions(
+        user_col, ts_col, fix_id, seg_id
+    )
+    return part.mapInPandas(_decode, schema)
