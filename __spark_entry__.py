@@ -2357,6 +2357,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cand_k=_MM_CAND_K,
         )
 
+    # --- graph: hop-bounded multi-source shortest paths -----------------------------
+    def q_sssp(spark, sf):
+        from osmgraft.operators.graph import sssp
+
+        d = _read(spark, sf, "documents").where(F.col("doc_id") < 5000)
+        # branching factor 4 (j-explode): every node gets 4 distinct
+        # out-edges so shortest paths genuinely merge at the min
+        edges = (
+            d.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .select(
+                (F.col("doc_id") % 500).alias("src"),
+                ((F.col("doc_id") * 13 + F.col("j") * 97 + 7) % 500).alias("dst"),
+                ((F.col("doc_id") + F.col("j") * 31) % 97 + 1).cast("long").alias("w"),
+            )
+        )
+        srcs = d.where(F.col("doc_id") < 5).select(F.col("doc_id").alias("id"))
+        return sssp(edges, srcs, n_rounds=6)
+
+    # --- trajectory: fixed-interval linear resampling -------------------------------
+    def q_resample(spark, sf):
+        from osmgraft.operators.sessions import _epoch_seconds
+        from osmgraft.operators.trajectory import resample_track
+
+        ev = _read(spark, sf, "events")
+        fixes = ev.select(
+            "user_id",
+            "event_id",
+            _epoch_seconds(ev, "ts").alias("ts_s"),
+            ((F.col("user_id") % 120).cast("double") / 2.0 + F.col("value") % 0.01).alias("lat"),
+            ((F.col("user_id") * 37 % 360).cast("double") - 180.0 + F.col("value") % 0.01).alias("lon"),
+        )
+        return resample_track(fixes, 3600, order_tiebreak="event_id")
+
     # --- density clustering: distributed DBSCAN -------------------------------------
     def q_dbscan(spark, sf):
         from osmgraft.operators.cluster import dbscan
@@ -2430,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_candidates_topk": q_match_candidates,
         "viterbi_match": q_viterbi,
         "dbscan_clusters": q_dbscan,
+        "sssp_6hop": q_sssp,
+        "resample_track": q_resample,
         "od_flows": q_od_flows,
         "smooth_box": q_smooth_box,
         "contour_segments": q_contours,
@@ -2478,7 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from osmgraft.operators.graph import pagerank_oracle_sql
+    from osmgraft.operators.graph import pagerank_oracle_sql, sssp_oracle_sql
     from osmgraft.operators.curation import weighted_sample_oracle_sql
     from osmgraft.operators.geom import (
         polyline_length_oracle_sql,
@@ -3059,6 +3094,32 @@ def oracle_sql() -> dict[str, str]:
         "match_candidates_topk": _match_cand_oracle_sql(),
         "viterbi_match": _viterbi_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(hav),
+        "sssp_6hop": sssp_oracle_sql(
+            "select doc_id % 500 as src, (doc_id * 13 + j * 97 + 7) % 500 as dst, "
+            "(doc_id + j * 31) % 97 + 1 as w from documents "
+            "cross join (select unnest([0,1,2,3]) as j) where doc_id < 5000",
+            "select doc_id as id from documents where doc_id < 5",
+            6,
+        ),
+        # resample: lead pair + generate_series grid, interpolation spelled
+        # exactly like the Catalyst expression (int/int division -> double)
+        "resample_track": (
+            "with fx as (select user_id, event_id, "
+            "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
+            "cast(user_id % 120 as double)/2.0 + value % 0.01 as lat, "
+            "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
+            "ld as (select *, lead(ts_s) over w as nts, lead(lat) over w as nla, "
+            "lead(lon) over w as nlo from fx "
+            "window w as (partition by user_id order by ts_s asc, event_id asc)), "
+            "ex as (select user_id, ts_s, lat, lon, nts, nla, nlo, "
+            "unnest(generate_series(cast(ceil(ts_s / 3600.0e0) as bigint) * 3600, "
+            "nts - 1, 3600)) as g from ld "
+            "where nts is not null and "
+            "cast(ceil(ts_s / 3600.0e0) as bigint) * 3600 <= nts - 1) "
+            "select user_id, g as ts_s, "
+            "lat + (g - ts_s) / (nts - ts_s) * (nla - lat) as lat, "
+            "lon + (g - ts_s) / (nts - ts_s) * (nlo - lon) as lon from ex"
+        ),
         "od_flows": (
             "with stays as (" + _stay_oracle_sql(rounded=False) + "), "
             "legs as (select *, lead(lat) over w as nlat, lead(lon) over w as nlon, "

@@ -151,3 +151,75 @@ def pagerank_oracle_sql(
         )
     body = "".join(sql).rstrip().rstrip(",")
     return f"{body} select id, ri / {s} as rank from pr{iterations}"
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Hop-bounded multi-source shortest paths (synchronous Bellman-Ford):
+    after exactly ``n_rounds`` relaxation rounds, ``(id, dist)`` holds the
+    cheapest cost of any path of <= ``n_rounds`` edges from the nearest
+    source (unreached nodes absent). The network-distance primitive the
+    snap/match family feeds: travel cost from depots/stations over the
+    way graph, at the same per-round plan cost as :func:`pagerank`.
+
+    Weights must be NON-NEGATIVE int64 (the caller quantizes meters or
+    millis); integer min/plus is exact and order-free, so the result is
+    partitioning-invariant and replays value-identically in any engine
+    (:func:`sssp_oracle_sql` unrolls the rounds as chained CTEs).
+
+    Per round: the frontier joins edges co-partitioned on the node key
+    (one shuffle), relaxations union the running map and take the per-id
+    min (second shuffle, map-side combinable) — no driver-side data ever;
+    a lazy localCheckpoint per round keeps lineage one round deep. A
+    fixed round budget, not convergence, bounds the work: at planet
+    scale ``n_rounds`` is the graph-diameter budget the caller pays for,
+    and the K-hop semantics are themselves useful (isochrone-style
+    reachability tiers).
+    """
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), F.col(w).cast("long").alias("_w")
+    ).localCheckpoint(eager=False)
+    dist = sources.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(n_rounds):
+        relax = dist.join(e, dist["id"] == e["_s"]).select(
+            F.col("_d").alias("id"), (F.col("dist") + F.col("_w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def sssp_oracle_sql(edges_cte: str, sources_cte: str, n_rounds: int) -> str:
+    """ANSI-SQL replica of :func:`sssp`: the rounds unrolled as chained
+    CTEs (min over the recursive term is not legal in a recursive CTE),
+    integer min/plus — value-identical, not approximate. ``edges_cte``
+    yields (src, dst, w); ``sources_cte`` yields (id)."""
+    sql = [
+        f"with e as (select src, dst, cast(w as bigint) as w from ({edges_cte})), ",
+        f"d0 as (select id, cast(0 as bigint) as dist from "
+        f"(select distinct id from ({sources_cte})) s), ",
+    ]
+    for i in range(n_rounds):
+        sql.append(
+            f"r{i} as (select e.dst as id, d{i}.dist + e.w as dist "
+            f"from d{i} join e on e.src = d{i}.id), "
+            f"d{i + 1} as (select id, min(dist) as dist from "
+            f"(select * from d{i} union all select * from r{i}) u group by id), "
+        )
+    body = "".join(sql).rstrip().rstrip(",")
+    return f"{body} select id, dist from d{n_rounds}"

@@ -171,3 +171,76 @@ def od_flows(
             F.avg("_transit").alias("avg_transit_s"),
         )
     )
+
+
+def resample_track(
+    fixes: DataFrame,
+    interval_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    order_tiebreak: str | None = None,
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Fixed-interval linear resampling of per-mover fix streams — the
+    normalization pass before trajectory models (uniform time steps) and
+    before map matching of very dense pings.
+
+    ``max_gap_s``: pairs further apart than this emit nothing (don't
+    fabricate positions across a data hole) — this also bounds the
+    per-row explode fan-out at ``max_gap_s / interval_s``, the rail that
+    keeps a year-long hole from producing half a million rows out of one
+    input row at planet scale.
+
+    For every consecutive fix pair (t0, t1) the output holds one row per
+    grid instant g (multiple of ``interval_s``) with t0 <= g < t1,
+    linearly interpolated between the two fixes; the union over pairs
+    covers the half-open span [first fix, last fix) with no duplicate
+    instants. Pairs shorter than the gap to the next grid line emit
+    nothing (downsampling semantics), long gaps interpolate through —
+    compose with :func:`stay_points`/sessionize upstream if a gap should
+    break the track instead.
+
+    ONE hash shuffle (the mover window); the grid explode and the
+    interpolation are map-side Catalyst (`sequence` + arithmetic), so the
+    plan is the sessionize shape with a bounded fan-out. The fraction
+    ``(g - t0) / (t1 - t0)`` and both interpolations are plain double
+    expressions on integer-second inputs — bit-replayable in any engine.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    iv = int(interval_s)
+    # lead columns materialize BEFORE the explode (generators cannot
+    # contain window expressions)
+    df = (
+        fixes.withColumn("_nts", F.lead(ts_col).over(w))
+        .withColumn("_nla", F.lead(lat_col).over(w))
+        .withColumn("_nlo", F.lead(lon_col).over(w))
+    )
+    g0 = F.ceil(F.col(ts_col) / F.lit(float(iv))).cast("long") * iv
+    live = F.col("_nts").isNotNull() & (g0 <= F.col("_nts") - 1)
+    if max_gap_s is not None:
+        live = live & (F.col("_nts") - F.col(ts_col) <= int(max_gap_s))
+    grid = F.when(
+        live, F.sequence(g0, F.col("_nts") - 1, F.lit(iv).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.withColumn("_g", F.explode(grid))
+        .select(
+            F.col(user_col),
+            F.col("_g").alias(ts_col),
+            (
+                F.col(lat_col)
+                + (F.col("_g") - F.col(ts_col)) / (F.col("_nts") - F.col(ts_col))
+                * (F.col("_nla") - F.col(lat_col))
+            ).alias(lat_col),
+            (
+                F.col(lon_col)
+                + (F.col("_g") - F.col(ts_col)) / (F.col("_nts") - F.col(ts_col))
+                * (F.col("_nlo") - F.col(lon_col))
+            ).alias(lon_col),
+        )
+    )

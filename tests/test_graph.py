@@ -73,3 +73,72 @@ def test_duckdb_oracle_bit_exact(spark):
 def test_validates_iterations(spark):
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [(0, 1)]), iterations=0)
+
+
+# --- hop-bounded SSSP --------------------------------------------------------
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def _srcs(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def _dists(df):
+    return {r["id"]: r["dist"] for r in df.collect()}
+
+
+def test_sssp_shortest_path_beats_greedy(spark):
+    from osmgraft.operators.graph import sssp
+
+    # 0 -> 2 direct costs 10; 0 -> 1 -> 2 costs 3
+    e = _wedges(spark, [(0, 2, 10), (0, 1, 1), (1, 2, 2)])
+    d = _dists(sssp(e, _srcs(spark, [0]), n_rounds=3))
+    assert d == {0: 0, 1: 1, 2: 3}
+
+
+def test_sssp_hop_bound(spark):
+    from osmgraft.operators.graph import sssp
+
+    e = _wedges(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    d2 = _dists(sssp(e, _srcs(spark, [0]), n_rounds=2))
+    assert 3 not in d2 and d2[2] == 2
+    d3 = _dists(sssp(e, _srcs(spark, [0]), n_rounds=3))
+    assert d3[3] == 3
+
+
+def test_sssp_multi_source_and_parallel_edges(spark):
+    from osmgraft.operators.graph import sssp
+
+    e = _wedges(spark, [(0, 5, 9), (0, 5, 4), (7, 5, 3), (5, 6, 1)])
+    d = _dists(sssp(e, _srcs(spark, [0, 7]), n_rounds=2))
+    assert d[5] == 3  # nearest source wins, parallel edge min applies
+    assert d[6] == 4
+
+
+def test_sssp_matches_bellman_ford_reference(spark):
+    import random
+
+    from osmgraft.operators.graph import sssp
+
+    rng = random.Random(99)
+    n = 60
+    rows = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 50)) for _ in range(300)
+    ]
+    sources = [0, 1, 2]
+    k = 5
+    # reference: synchronous <=k-hop Bellman-Ford
+    INF = float("inf")
+    dist = {i: (0 if i in sources else INF) for i in range(n)}
+    for _ in range(k):
+        nxt = dict(dist)
+        for s, t, w in rows:
+            if dist[s] + w < nxt[t]:
+                nxt[t] = dist[s] + w
+        dist = nxt
+    want = {i: d for i, d in dist.items() if d < INF}
+    got = _dists(sssp(_wedges(spark, rows).repartition(7), _srcs(spark, sources), n_rounds=k))
+    assert got == want

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from osmgraft.operators.trajectory import stay_points
 
 
@@ -136,3 +138,63 @@ def test_radius_of_gyration_values(spark):
     # centroid = midpoint; each fix ~11.12 km away (0.1 deg of equator lon)
     expect = 0.1 / 360.0 * 2 * 3.141592653589793 * 6371008.8
     assert abs(rog - expect) / expect < 1e-6
+
+
+# --- fixed-interval resampling ----------------------------------------------
+
+
+def _fx(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts_s long, lat double, lon double")
+
+
+def test_resample_linear_interpolation(spark):
+    from osmgraft.operators.trajectory import resample_track
+
+    # one pair spanning 100..300, grid 60: instants 120, 180, 240
+    out = resample_track(_fx(spark, [(1, 100, 10.0, 20.0), (1, 300, 12.0, 24.0)]), 60)
+    rows = sorted((r["ts_s"], r["lat"], r["lon"]) for r in out.collect())
+    assert [t for t, _, _ in rows] == [120, 180, 240]
+    for t, la, lo in rows:
+        fr = (t - 100) / 200
+        assert la == pytest.approx(10.0 + fr * 2.0, abs=1e-12)
+        assert lo == pytest.approx(20.0 + fr * 4.0, abs=1e-12)
+
+
+def test_resample_on_grid_start_included_end_excluded(spark):
+    from osmgraft.operators.trajectory import resample_track
+
+    out = resample_track(_fx(spark, [(1, 120, 1.0, 1.0), (1, 240, 2.0, 2.0)]), 60)
+    ts = sorted(r["ts_s"] for r in out.collect())
+    assert ts == [120, 180]  # the 240 instant belongs to the next pair (absent)
+
+
+def test_resample_no_duplicates_across_pairs(spark):
+    from osmgraft.operators.trajectory import resample_track
+
+    fixes = _fx(spark, [(1, 0, 0.0, 0.0), (1, 120, 1.0, 1.0), (1, 240, 2.0, 2.0)])
+    out = resample_track(fixes, 60).collect()
+    ts = sorted(r["ts_s"] for r in out)
+    assert ts == [0, 60, 120, 180]
+
+
+def test_resample_max_gap_rail(spark):
+    from osmgraft.operators.trajectory import resample_track
+
+    fixes = _fx(
+        spark,
+        [(1, 0, 0.0, 0.0), (1, 120, 1.0, 1.0), (1, 100000, 2.0, 2.0)],
+    )
+    out = resample_track(fixes, 60, max_gap_s=600).collect()
+    assert sorted(r["ts_s"] for r in out) == [0, 60]  # the hole emits nothing
+
+
+def test_resample_users_independent_and_unsorted_input(spark):
+    from osmgraft.operators.trajectory import resample_track
+
+    fixes = _fx(
+        spark,
+        [(2, 180, 5.0, 5.0), (1, 120, 1.0, 1.0), (2, 60, 4.0, 4.0), (1, 0, 0.0, 0.0)],
+    ).repartition(5)
+    out = resample_track(fixes, 60).collect()
+    got = sorted((r["user_id"], r["ts_s"]) for r in out)
+    assert got == [(1, 0), (1, 60), (2, 60), (2, 120)]

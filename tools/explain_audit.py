@@ -851,6 +851,47 @@ def main() -> None:
         ("marching squares — corner scatter + one block pivot", p45, notes45)
     )
 
+    # 46. Viterbi map matching — candidate stage is ONE cell equi-join
+    # (segment covering explode x fix disk probe), emission/snap math in
+    # Catalyst; the decode is a single mapInPandas over mover-sorted
+    # partitions (no per-group Arrow roundtrips, no join after the
+    # candidates).
+    q46 = entry_mod.queries()["viterbi_match"](spark, SF)
+    p46 = plan_of(q46)
+    n_joins46 = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p46)
+    )
+    notes46 = [
+        f"no cartesian/BNLJ anywhere: "
+        f"{'Cartesian' not in p46 and 'BroadcastNestedLoopJoin' not in p46}",
+        # joins: 2 input-derivation joins (fixture) + 1 candidate cell join
+        f"equi-joins only, count {n_joins46} (<= 3)",
+        f"decode is mapInPandas (one python stage, no per-group FlatMapGroups): "
+        f"{'MapInPandas' in p46 and 'FlatMapGroupsInPandas' not in p46}",
+        f"no row-at-a-time Python (BatchEvalPython absent): "
+        f"{'BatchEvalPython' not in p46}",
+    ]
+    sections.append(
+        ("Viterbi map matching — one candidate equi-join + mover-batched decode", p46, notes46)
+    )
+
+    # 47. DBSCAN — radius pairs via the banded kNN equi-join (checkpointed
+    # once for its three consumers), degree/border as same-key aggregates,
+    # clusters via the log-round alternating-star CC. No cartesian, no
+    # Python anywhere (pair kernel is Catalyst haversine).
+    q47 = entry_mod.queries()["dbscan_clusters"](spark, SF)
+    p47 = plan_of(q47)
+    notes47 = [
+        f"no cartesian/BNLJ: "
+        f"{'Cartesian' not in p47 and 'BroadcastNestedLoopJoin' not in p47}",
+        f"pair set enters as a checkpointed scan (computed once): "
+        f"{'Scan ExistingRDD' in p47}",
+        f"no Python operators in the label plan: {'Python' not in p47}",
+    ]
+    sections.append(
+        ("DBSCAN — checkpointed radius pairs + star-contracted components", p47, notes47)
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
