@@ -2390,6 +2390,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resample_track(fixes, 3600, order_tiebreak="event_id")
 
+    # --- movement: geofence enter/exit events ---------------------------------------
+    def q_geofence(spark, sf):
+        from osmgraft.operators.geofence import geofence_events
+        from osmgraft.operators.sessions import _epoch_seconds
+
+        ev = _read(spark, sf, "events")
+        fixes = ev.select(
+            "user_id",
+            F.col("event_id").alias("fid"),
+            _epoch_seconds(ev, "ts").alias("ts_s"),
+            (
+                (F.col("user_id") % 80).cast("double") / 2.0
+                - 20.0
+                + (F.col("event_id") % 37).cast("double") * 0.45
+            ).alias("lat"),
+            (
+                (F.col("user_id") * 29 % 300).cast("double")
+                - 150.0
+                + (F.col("event_id") % 23).cast("double") * 0.8
+            ).alias("lon"),
+        )
+        n = _read(spark, sf, "nation")
+        boxes = n.select(
+            F.col("n_nationkey").cast("long").alias("poly_id"),
+            ((F.col("n_nationkey") % 9).cast("double") * 9.0 - 40.5678).alias("_la"),
+            ((F.col("n_nationkey") * 29 % 300).cast("double") - 150.5678).alias("_lo"),
+        )
+        polys = boxes.select(
+            "poly_id",
+            F.array(
+                F.col("_la"), F.col("_la"), F.col("_la") + 8.1234, F.col("_la") + 8.1234
+            ).alias("ring_lats"),
+            F.array(
+                F.col("_lo"), F.col("_lo") + 12.1234, F.col("_lo") + 12.1234, F.col("_lo")
+            ).alias("ring_lons"),
+        )
+        return geofence_events(fixes, polys, strategy="broadcast")
+
     # --- density clustering: distributed DBSCAN -------------------------------------
     def q_dbscan(spark, sf):
         from osmgraft.operators.cluster import dbscan
@@ -2465,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan,
         "sssp_6hop": q_sssp,
         "resample_track": q_resample,
+        "geofence_events": q_geofence,
         "od_flows": q_od_flows,
         "smooth_box": q_smooth_box,
         "contour_segments": q_contours,
@@ -3100,6 +3139,36 @@ def oracle_sql() -> dict[str, str]:
             "cross join (select unnest([0,1,2,3]) as j) where doc_id < 5000",
             "select doc_id as id from documents where doc_id < 5",
             6,
+        ),
+        # geofence: strict-box membership sets (== the even-odd PIP on axis
+        # rects, proven by pip_rectangles), lag set-difference per mover
+        "geofence_events": (
+            "with fx as (select user_id, event_id as fid, "
+            "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
+            "cast(user_id % 80 as double)/2.0 - 20.0 + (event_id % 37) * 0.45e0 as lat, "
+            "cast(user_id*29 % 300 as double) - 150.0 + (event_id % 23) * 0.8e0 as lon "
+            "from events), "
+            "boxes as (select cast(n_nationkey as bigint) as poly_id, "
+            "(n_nationkey % 9) * 9.0e0 - 40.5678e0 as la, "
+            "(n_nationkey * 29 % 300) - 150.5678e0 as lo from nation), "
+            "hit as (select f.user_id, f.fid, f.ts_s, b.poly_id from fx f join boxes b "
+            "on f.lat > b.la and f.lat < b.la + 8.1234e0 "
+            "and f.lon > b.lo and f.lon < b.lo + 12.1234e0), "
+            "pf as (select user_id, fid, ts_s, list_sort(list(distinct poly_id)) as cur "
+            "from hit group by 1, 2, 3), "
+            "base as (select f.user_id, f.fid, f.ts_s, "
+            "coalesce(p.cur, cast([] as bigint[])) as cur from fx f left join pf p "
+            "on p.user_id = f.user_id and p.fid = f.fid and p.ts_s = f.ts_s), "
+            "lg as (select user_id, ts_s, cur, "
+            "coalesce(lag(cur) over (partition by user_id order by ts_s asc, fid asc), "
+            "cast([] as bigint[])) as prv from base), "
+            "en as (select user_id, ts_s, "
+            "unnest(list_filter(cur, x -> not list_contains(prv, x))) as poly_id, "
+            "'enter' as event from lg), "
+            "ex as (select user_id, ts_s, "
+            "unnest(list_filter(prv, x -> not list_contains(cur, x))) as poly_id, "
+            "'exit' as event from lg) "
+            "select * from en union all select * from ex"
         ),
         # resample: lead pair + generate_series grid, interpolation spelled
         # exactly like the Catalyst expression (int/int division -> double)

@@ -1,0 +1,84 @@
+"""Geofence event detection: enter/exit events from per-mover fix
+streams against a polygon set — the alerting/attribution pass of every
+fleet, delivery, and location-analytics pipeline, and the composition
+point of this engine's movement family (PIP join x ordered windows).
+
+Engine extension (north_rule); absent from the reference. Semantics: for
+every mover, every fix carries its set of containing polygons (the PIP
+join); an ENTER event fires at the first fix where a polygon appears in
+the set and was absent at the previous fix (or at the mover's first fix),
+an EXIT event fires at the first fix where it is absent after being
+present. Event timestamps are fix timestamps — the observation
+granularity; no interpolation of the crossing instant is invented.
+
+Execution shape: ONE PIP join (broadcast or cell-partitioned — the
+engine's hybrid, operators/pip.py), ONE groupBy collecting the per-fix
+polygon set (sorted for determinism), ONE mover window computing the
+set difference against the lagged set, then a map-side explode of
+enters/exits. Movers partition the window; a mover's history sorts in
+one task (the semantic minimum for ordered transition detection — same
+note as sessionize/stay_points). The set per fix is bounded by polygon
+overlap depth, not polygon count.
+
+Determinism: collect_set order is pinned by sort_array, ties in the fix
+order break on the fix id, and the exploded event rows are a pure set
+difference — the result is a pure function of the input, replayed
+row-identically by the SQL oracle (list_filter/list_contains over the
+same lag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osmgraft.operators.pip import pip_join
+
+
+def geofence_events(
+    fixes: DataFrame,
+    polygons: DataFrame,
+    user_col: str = "user_id",
+    fix_id: str = "fid",
+    ts_col: str = "ts_s",
+    fix_cols: tuple[str, str] = ("lat", "lon"),
+    poly_id: str = "poly_id",
+    strategy: str = "auto",
+    **pip_kwargs,
+) -> DataFrame:
+    """``(user, ts, poly_id, event)`` with event in ``enter | exit``.
+
+    ``fixes``: (user, fid unique-per-fix, ts, lat, lon); ``polygons``:
+    the PIP join's ring frame (poly_id, ring_lats, ring_lons). Extra
+    ``pip_kwargs`` pass through to :func:`osmgraft.operators.pip.pip_join`.
+    """
+    slim = fixes.select(user_col, fix_id, ts_col, *fix_cols)
+    hits = pip_join(slim, polygons, point_cols=fix_cols, strategy=strategy, **pip_kwargs)
+    per_fix = hits.groupBy(user_col, fix_id, ts_col).agg(
+        F.sort_array(F.collect_set(poly_id)).alias("_cur")
+    )
+    empty = F.array().cast("array<long>")
+    base = (
+        slim.join(per_fix, [user_col, fix_id, ts_col], "left")
+        .select(
+            user_col,
+            fix_id,
+            ts_col,
+            F.coalesce(F.col("_cur"), empty).alias("_cur"),
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(fix_id).asc())
+    lagged = base.withColumn("_prv", F.coalesce(F.lag("_cur").over(w), empty))
+    enters = lagged.select(
+        user_col,
+        ts_col,
+        F.explode(F.array_except("_cur", "_prv")).alias(poly_id),
+        F.lit("enter").alias("event"),
+    )
+    exits = lagged.select(
+        user_col,
+        ts_col,
+        F.explode(F.array_except("_prv", "_cur")).alias(poly_id),
+        F.lit("exit").alias("event"),
+    )
+    return enters.unionByName(exits)
