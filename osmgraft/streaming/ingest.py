@@ -458,3 +458,132 @@ def stream_sessionize(
     return slim.groupBy(F.col(user_col)).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_geofence(
+    fixes: DataFrame,
+    fences: list[tuple[int, list[float], list[float]]],
+    user_col: str = "user_id",
+    fix_id: str = "fid",
+    ts_col: str = "ts_s",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: geofence enter/exit events over
+    an unbounded fix stream — the streaming form of
+    :func:`osmgraft.operators.geofence.geofence_events`.
+
+    ``fences`` is the driver-side fence list ``(poly_id, ring_lats,
+    ring_lons)`` — closed over into the kernel, i.e. broadcast to every
+    task; right-sized for the usual 10^2..10^5 alerting fences (a
+    planet-scale fence SET would use the batch operator's cell-join
+    covering instead, recomputed per micro-batch). State per mover is the
+    SORTED currently-inside polygon-id tuple — bytes bounded by overlap
+    depth, never by history length, which is what lets this run forever.
+    Each micro-batch sorts a mover's fixes by (ts, fix id), evaluates the
+    even-odd ring test per fix, and emits one row per set-membership
+    transition: ``(user, ts_s, poly_id, event)`` append-only, identical
+    transitions to the batch operator under in-order arrival (tested
+    two-batch vs batch replay). Late fixes arriving after the mover's
+    state moved on fold in arrival order — the standard no-watermark
+    best-effort; exact replay is the batch operator's job.
+
+    ``state_ttl``: optional processing-time timeout that FORGETS a quiet
+    mover's state (memory rail). Forgetting is not an exit: silence says
+    nothing about position, so no event is emitted; a post-TTL fix
+    re-enters whatever it is inside of."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    user_type = fixes.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField(user_col, user_type),
+            StructField(ts_col, LongType()),
+            StructField("poly_id", LongType()),
+            StructField("event", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("inside", ArrayType(LongType()))])
+
+    ttl_ms = None
+    if state_ttl is not None:
+        qty, _, unit = state_ttl.partition(" ")
+        mult = {
+            "": 1, "ms": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.strip().lower()]
+        ttl_ms = int(float(qty) * mult)
+
+    rings = [
+        (int(pid), np.asarray(la, dtype=np.float64), np.asarray(lo, dtype=np.float64))
+        for pid, la, lo in fences
+    ]
+
+    def _inside_set(py: float, px: float) -> tuple:
+        out = []
+        for pid, la, lo in rings:
+            lj, oj = np.roll(la, 1), np.roll(lo, 1)
+            cross = (la > py) != (lj > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = (oj - lo) * (py - la) / (lj - la) + lo
+            if bool(np.count_nonzero(cross & (px < xs)) & 1):
+                out.append(pid)
+        return tuple(sorted(out))
+
+    slim = fixes.select(
+        F.col(user_col),
+        F.col(fix_id).alias("_f"),
+        F.col(ts_col).cast("long").alias("_s"),
+        F.col(lat_col).alias("_y"),
+        F.col(lon_col).alias("_x"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()  # forget the quiet mover; silence is not an exit
+            return
+        (cur,) = state.get if state.exists else ((),)
+        cur = tuple(int(c) for c in (cur or ()))
+        events = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values(["_s", "_f"], kind="stable")
+            for s, py, px in zip(whole["_s"], whole["_y"], whole["_x"]):
+                nxt = _inside_set(float(py), float(px))
+                for p in nxt:
+                    if p not in cur:
+                        events.append([key[0], int(s), p, "enter"])
+                for p in cur:
+                    if p not in nxt:
+                        events.append([key[0], int(s), p, "exit"])
+                cur = nxt
+        state.update((list(cur),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if events:
+            yield pd.DataFrame(events, columns=[user_col, ts_col, "poly_id", "event"])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return slim.groupBy(F.col(user_col)).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

@@ -87,3 +87,60 @@ def test_partitioning_and_order_invariant(spark):
     a = _events(geofence_events(fx.repartition(1), boxes, strategy="broadcast"))
     b = _events(geofence_events(fx.repartition(9, "fid"), boxes, strategy="broadcast"))
     assert a == b and len(a) > 0
+
+
+def test_stream_geofence_matches_batch(spark, tmp_path):
+    """Two-batch file stream of in-order fixes: emitted enter/exit events
+    must equal the batch operator's over the full data (state carries the
+    inside-set across the batch boundary)."""
+    import os
+
+    from osmgraft.streaming.ingest import stream_geofence
+
+    fences = [
+        (1, [0.0, 0.0, 10.0, 10.0], [0.0, 10.0, 10.0, 0.0]),
+        (2, [4.0, 4.0, 14.0, 14.0], [4.0, 14.0, 14.0, 4.0]),
+    ]
+    rows1, rows2 = [], []
+    for u in (1, 2):
+        # walk: out -> in 1 -> in both -> only 2 (exit 1) | batch 2: out (exit 2), back in 1
+        rows1 += [
+            (u, u * 10 + 0, 0, -3.0 + u * 0.1, 5.0),
+            (u, u * 10 + 1, 60, 5.0, 5.0 + u * 0.1),
+            (u, u * 10 + 2, 120, 6.0, 6.0),
+            (u, u * 10 + 3, 180, 12.0, 12.0),
+        ]
+        rows2 += [
+            (u, u * 10 + 4, 240, -3.0, 5.0),
+            (u, u * 10 + 5, 300, 5.0, 5.0),
+        ]
+    schema = "user_id long, fid long, ts_s long, lat double, lon double"
+    src = str(tmp_path / "fx_src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_geofence(stream, fences)
+        .writeStream.format("memory")
+        .queryName("geofence_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["ts_s"], r["poly_id"], r["event"])
+        for r in spark.sql("select * from geofence_stream").collect()
+    )
+
+    polys = _polys(spark, [(1, 0.0, 0.0, 10.0, 10.0), (2, 4.0, 4.0, 14.0, 14.0)])
+    full = _fixes(spark, rows1 + rows2)
+    want = _events(geofence_events(full, polys, strategy="broadcast"))
+    assert got == want
+    assert len(got) > 0
