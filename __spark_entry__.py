@@ -920,6 +920,36 @@ def _viterbi_oracle_sql() -> str:
     )
 
 
+_GEOFENCE_SQL = (
+            "with fx as (select user_id, event_id as fid, "
+            "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
+            "cast(user_id % 80 as double)/2.0 - 20.0 + (event_id % 37) * 0.45e0 as lat, "
+            "cast(user_id*29 % 300 as double) - 150.0 + (event_id % 23) * 0.8e0 as lon "
+            "from events), "
+            "boxes as (select cast(n_nationkey as bigint) as poly_id, "
+            "(n_nationkey % 9) * 9.0e0 - 40.5678e0 as la, "
+            "(n_nationkey * 29 % 300) - 150.5678e0 as lo from nation), "
+            "hit as (select f.user_id, f.fid, f.ts_s, b.poly_id from fx f join boxes b "
+            "on f.lat > b.la and f.lat < b.la + 8.1234e0 "
+            "and f.lon > b.lo and f.lon < b.lo + 12.1234e0), "
+            "pf as (select user_id, fid, ts_s, list_sort(list(distinct poly_id)) as cur "
+            "from hit group by 1, 2, 3), "
+            "base as (select f.user_id, f.fid, f.ts_s, "
+            "coalesce(p.cur, cast([] as bigint[])) as cur from fx f left join pf p "
+            "on p.user_id = f.user_id and p.fid = f.fid and p.ts_s = f.ts_s), "
+            "lg as (select user_id, ts_s, cur, "
+            "coalesce(lag(cur) over (partition by user_id order by ts_s asc, fid asc), "
+            "cast([] as bigint[])) as prv from base), "
+            "en as (select user_id, ts_s, "
+            "unnest(list_filter(cur, x -> not list_contains(prv, x))) as poly_id, "
+            "'enter' as event from lg), "
+            "ex as (select user_id, ts_s, "
+            "unnest(list_filter(prv, x -> not list_contains(cur, x))) as poly_id, "
+            "'exit' as event from lg) "
+            "select * from en union all select * from ex"
+        )
+
+
 _DBSCAN_EPS_M = 200_000.0
 _DBSCAN_MIN_PTS = 3
 
@@ -2428,6 +2458,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return geofence_events(fixes, polys, strategy="broadcast")
 
+    # --- trajectory: GPS spike removal ----------------------------------------------
+    def q_spike_filter(spark, sf):
+        from osmgraft.operators.sessions import _epoch_seconds
+        from osmgraft.operators.trajectory import spike_filter
+
+        ev = _read(spark, sf, "events")
+        fixes = ev.select(
+            "user_id",
+            "event_id",
+            _epoch_seconds(ev, "ts").alias("ts_s"),
+            (
+                (F.col("user_id") % 120).cast("double") / 2.0
+                + F.col("value") % 0.01
+                + F.when(F.col("event_id") % 17 == 0, 25.0).otherwise(0.0)
+            ).alias("lat"),
+            ((F.col("user_id") * 37 % 360).cast("double") - 180.0 + F.col("value") % 0.01).alias("lon"),
+        )
+        return spike_filter(fixes, max_speed_ms=30.0, order_tiebreak="event_id")
+
+    # --- movement: geofence visits (dwell intervals) --------------------------------
+    def q_dwell(spark, sf):
+        from osmgraft.operators.geofence import dwell_intervals
+
+        out = dwell_intervals(q_geofence(spark, sf))
+        return out.select(
+            "user_id",
+            "poly_id",
+            "enter_s",
+            F.col("exit_s").cast("double").alias("exit_s"),
+            F.col("dwell_s").cast("double").alias("dwell_s"),
+        )
+
     # --- density clustering: distributed DBSCAN -------------------------------------
     def q_dbscan(spark, sf):
         from osmgraft.operators.cluster import dbscan
@@ -2504,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_6hop": q_sssp,
         "resample_track": q_resample,
         "geofence_events": q_geofence,
+        "spike_filter": q_spike_filter,
+        "dwell_intervals": q_dwell,
         "od_flows": q_od_flows,
         "smooth_box": q_smooth_box,
         "contour_segments": q_contours,
@@ -3142,33 +3206,50 @@ def oracle_sql() -> dict[str, str]:
         ),
         # geofence: strict-box membership sets (== the even-odd PIP on axis
         # rects, proven by pip_rectangles), lag set-difference per mover
-        "geofence_events": (
-            "with fx as (select user_id, event_id as fid, "
+        "geofence_events": _GEOFENCE_SQL,
+        # dwell: lead-pairing of the geofence event stream per (user, poly)
+        "dwell_intervals": (
+            "with dw as (select user_id, poly_id, ts_s, event, "
+            "lead(ts_s) over (partition by user_id, poly_id order by ts_s asc) as nxt "
+            f"from ({_GEOFENCE_SQL}) ev) "
+            "select user_id, poly_id, ts_s as enter_s, "
+            "cast(nxt as double) as exit_s, "
+            "cast(nxt - ts_s as double) as dwell_s from dw where event = 'enter'"
+        ),
+        # spike filter: lag+lead legs with the engine's haversine, the
+        # same null / zero-dt / threshold case chain as the operator
+        "spike_filter": (
+            "with fx as (select user_id, event_id, "
             "date_diff('second', TIMESTAMP '1970-01-01', date_trunc('second', ts)) as ts_s, "
-            "cast(user_id % 80 as double)/2.0 - 20.0 + (event_id % 37) * 0.45e0 as lat, "
-            "cast(user_id*29 % 300 as double) - 150.0 + (event_id % 23) * 0.8e0 as lon "
-            "from events), "
-            "boxes as (select cast(n_nationkey as bigint) as poly_id, "
-            "(n_nationkey % 9) * 9.0e0 - 40.5678e0 as la, "
-            "(n_nationkey * 29 % 300) - 150.5678e0 as lo from nation), "
-            "hit as (select f.user_id, f.fid, f.ts_s, b.poly_id from fx f join boxes b "
-            "on f.lat > b.la and f.lat < b.la + 8.1234e0 "
-            "and f.lon > b.lo and f.lon < b.lo + 12.1234e0), "
-            "pf as (select user_id, fid, ts_s, list_sort(list(distinct poly_id)) as cur "
-            "from hit group by 1, 2, 3), "
-            "base as (select f.user_id, f.fid, f.ts_s, "
-            "coalesce(p.cur, cast([] as bigint[])) as cur from fx f left join pf p "
-            "on p.user_id = f.user_id and p.fid = f.fid and p.ts_s = f.ts_s), "
-            "lg as (select user_id, ts_s, cur, "
-            "coalesce(lag(cur) over (partition by user_id order by ts_s asc, fid asc), "
-            "cast([] as bigint[])) as prv from base), "
-            "en as (select user_id, ts_s, "
-            "unnest(list_filter(cur, x -> not list_contains(prv, x))) as poly_id, "
-            "'enter' as event from lg), "
-            "ex as (select user_id, ts_s, "
-            "unnest(list_filter(prv, x -> not list_contains(cur, x))) as poly_id, "
-            "'exit' as event from lg) "
-            "select * from en union all select * from ex"
+            "cast(user_id % 120 as double)/2.0 + value % 0.01 + "
+            "case when event_id % 17 = 0 then 25.0e0 else 0.0e0 end as lat, "
+            "cast(user_id*37 % 360 as double) - 180.0 + value % 0.01 as lon from events), "
+            "lg as (select *, lag(lat) over w as pla, lag(lon) over w as plo, "
+            "lag(ts_s) over w as pts, lead(lat) over w as nla, "
+            "lead(lon) over w as nlo, lead(ts_s) over w as nts from fx "
+            "window w as (partition by user_id order by ts_s asc, event_id asc)), "
+            "sp as (select *, "
+            "case when abs(pts - ts_s) = 0 then "
+            "2*6371008.8*asin(sqrt(pow(sin(radians(pla-lat)/2),2) + "
+            "cos(radians(lat))*cos(radians(pla))*pow(sin(radians(plo-lon)/2),2))) > 0 "
+            "else 2*6371008.8*asin(sqrt(pow(sin(radians(pla-lat)/2),2) + "
+            "cos(radians(lat))*cos(radians(pla))*pow(sin(radians(plo-lon)/2),2))) "
+            "/ cast(abs(pts - ts_s) as double) > 30.0 end as fin, "
+            "case when abs(nts - ts_s) = 0 then "
+            "2*6371008.8*asin(sqrt(pow(sin(radians(nla-lat)/2),2) + "
+            "cos(radians(lat))*cos(radians(nla))*pow(sin(radians(nlo-lon)/2),2))) > 0 "
+            "else 2*6371008.8*asin(sqrt(pow(sin(radians(nla-lat)/2),2) + "
+            "cos(radians(lat))*cos(radians(nla))*pow(sin(radians(nlo-lon)/2),2))) "
+            "/ cast(abs(nts - ts_s) as double) > 30.0 end as fout, "
+            "case when abs(nts - pts) = 0 then "
+            "2*6371008.8*asin(sqrt(pow(sin(radians(nla-pla)/2),2) + "
+            "cos(radians(pla))*cos(radians(nla))*pow(sin(radians(nlo-plo)/2),2))) > 0 "
+            "else 2*6371008.8*asin(sqrt(pow(sin(radians(nla-pla)/2),2) + "
+            "cos(radians(pla))*cos(radians(nla))*pow(sin(radians(nlo-plo)/2),2))) "
+            "/ cast(abs(nts - pts) as double) > 30.0 end as fbridge from lg) "
+            "select user_id, event_id, ts_s, lat, lon from sp "
+            "where not (pts is not null and nts is not null "
+            "and fin and fout and not fbridge)"
         ),
         # resample: lead pair + generate_series grid, interpolation spelled
         # exactly like the Catalyst expression (int/int division -> double)

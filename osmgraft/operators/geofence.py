@@ -82,3 +82,32 @@ def geofence_events(
         F.lit("exit").alias("event"),
     )
     return enters.unionByName(exits)
+
+
+def dwell_intervals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    poly_id: str = "poly_id",
+) -> DataFrame:
+    """Pair :func:`geofence_events` output into visit intervals:
+    ``(user, poly_id, enter_s, exit_s, dwell_s)`` per completed visit;
+    a still-open visit (enter with no later exit) emits a null exit and
+    dwell. Within one (user, polygon) the event stream strictly
+    alternates enter/exit starting with enter (a set-difference
+    transition can't repeat), so pairing is ONE window lead over
+    (user, poly) — the partition key refines the event window's, no new
+    shuffle shape."""
+    w = Window.partitionBy(user_col, poly_id).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(ts_col).over(w)
+    return (
+        events.withColumn("_next", nxt)
+        .where(F.col("event") == "enter")
+        .select(
+            user_col,
+            poly_id,
+            F.col(ts_col).alias("enter_s"),
+            F.col("_next").alias("exit_s"),
+            (F.col("_next") - F.col(ts_col)).cast("long").alias("dwell_s"),
+        )
+    )

@@ -244,3 +244,56 @@ def resample_track(
             ).alias(lon_col),
         )
     )
+
+
+def spike_filter(
+    fixes: DataFrame,
+    max_speed_ms: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts_s",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """GPS spike removal: drop fixes that are isolated teleports — the
+    classic single-outlier test. An INTERIOR fix is a spike iff the
+    implied speed from the previous fix AND to the next fix both exceed
+    ``max_speed_ms`` WHILE the direct previous→next bridge stays within
+    it: a genuinely fast vehicle fails the bridge condition (its
+    neighbors are also far apart) and keeps every fix; only a point
+    whose removal makes the track plausible again falls. First/last
+    fixes are never dropped (one leg gives no second reference —
+    conservative by design).
+
+    ONE mover window (lag+lead share the sort), haversine legs in pure
+    Catalyst, zero-duration legs (same second) count as fast when the
+    displacement is nonzero. Deterministic and SQL-replayable; the
+    one-pass formulation intentionally does NOT re-test after removal
+    (iterative re-filtering is order-dependent — run the pass twice if a
+    double spike must fall).
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+
+    def fast(la1, lo1, ts1, la2, lo2, ts2):
+        d = haversine_m(la1, lo1, la2, lo2)
+        dt = F.abs(ts2 - ts1).cast("double")
+        return F.when(dt == 0, d > 0).otherwise(d / dt > max_speed_ms)
+
+    cla, clo, cts = F.col(lat_col), F.col(lon_col), F.col(ts_col)
+    pla, plo, pts = F.lag(lat_col).over(w), F.lag(lon_col).over(w), F.lag(ts_col).over(w)
+    nla, nlo, nts = (
+        F.lead(lat_col).over(w),
+        F.lead(lon_col).over(w),
+        F.lead(ts_col).over(w),
+    )
+    spike = (
+        pts.isNotNull()
+        & nts.isNotNull()
+        & fast(cla, clo, cts, pla, plo, pts)
+        & fast(cla, clo, cts, nla, nlo, nts)
+        & ~fast(pla, plo, pts, nla, nlo, nts)
+    )
+    return fixes.withColumn("_spike", spike).where(~F.col("_spike")).drop("_spike")

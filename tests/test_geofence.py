@@ -144,3 +144,21 @@ def test_stream_geofence_matches_batch(spark, tmp_path):
     want = _events(geofence_events(full, polys, strategy="broadcast"))
     assert got == want
     assert len(got) > 0
+
+
+def test_dwell_intervals_pairing(spark):
+    from osmgraft.operators.geofence import dwell_intervals, geofence_events
+
+    box = _polys(spark, [(7, 0.0, 0.0, 10.0, 10.0)])
+    fx = _fixes(
+        spark,
+        [
+            (1, 0, 0, -5.0, 5.0),
+            (1, 1, 60, 5.0, 5.0),    # enter
+            (1, 2, 180, 15.0, 5.0),  # exit -> dwell 120
+            (1, 3, 240, 5.0, 5.0),   # re-enter, still open
+        ],
+    )
+    out = dwell_intervals(geofence_events(fx, box, strategy="broadcast")).collect()
+    rows = sorted((r["enter_s"], r["exit_s"], r["dwell_s"]) for r in out)
+    assert rows == [(60, 180, 120), (240, None, None)]

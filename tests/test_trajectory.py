@@ -198,3 +198,60 @@ def test_resample_users_independent_and_unsorted_input(spark):
     out = resample_track(fixes, 60).collect()
     got = sorted((r["user_id"], r["ts_s"]) for r in out)
     assert got == [(1, 0), (1, 60), (2, 60), (2, 120)]
+
+
+# --- GPS spike removal -------------------------------------------------------
+
+
+def test_spike_interior_teleport_dropped(spark):
+    from osmgraft.operators.trajectory import spike_filter
+
+    fixes = _fx(
+        spark,
+        [
+            (1, 0, 10.0, 20.0),
+            (1, 60, 10.0005, 20.0),   # ~55 m in 60 s: slow
+            (1, 120, 30.0, 50.0),     # teleport
+            (1, 180, 10.0010, 20.0),  # back on track
+            (1, 240, 10.0015, 20.0),
+        ],
+    )
+    out = sorted(r["ts_s"] for r in spike_filter(fixes, max_speed_ms=30.0).collect())
+    assert out == [0, 60, 180, 240]
+
+
+def test_spike_fast_vehicle_kept(spark):
+    from osmgraft.operators.trajectory import spike_filter
+
+    # every leg ~40 m/s — fast but consistent: the bridge is also fast,
+    # so nothing is a spike
+    fixes = _fx(spark, [(1, t * 60, 10.0 + t * 0.0215, 20.0) for t in range(6)])
+    assert spike_filter(fixes, max_speed_ms=30.0).count() == 6
+
+
+def test_spike_endpoints_conservative(spark):
+    from osmgraft.operators.trajectory import spike_filter
+
+    # first fix is a teleport relative to the rest: kept (no second leg)
+    fixes = _fx(
+        spark,
+        [(1, 0, 50.0, 80.0), (1, 60, 10.0, 20.0), (1, 120, 10.0005, 20.0)],
+    )
+    assert spike_filter(fixes, max_speed_ms=30.0).count() == 3
+
+
+def test_spike_zero_dt_displacement(spark):
+    from osmgraft.operators.trajectory import spike_filter
+
+    # same-second displaced fix between close neighbors: dropped
+    fixes = _fx(
+        spark,
+        [(1, 0, 10.0, 20.0), (1, 60, 35.0, 20.0), (1, 60, 10.0002, 20.0), (1, 120, 10.0004, 20.0)],
+    )
+    # order tiebreak on lat puts the teleport between the slow fixes
+    out = spike_filter(fixes, max_speed_ms=30.0, order_tiebreak="lat")
+    assert sorted((r["ts_s"], r["lat"]) for r in out.collect()) == [
+        (0, 10.0),
+        (60, 10.0002),
+        (120, 10.0004),
+    ]
