@@ -954,6 +954,45 @@ _DBSCAN_EPS_M = 200_000.0
 _DBSCAN_MIN_PTS = 3
 
 
+def _hull_oracle_sql(hav: str) -> str:
+    """Hull-corner replay by the O(n^3) supporting-edge test per cluster:
+    a distinct-coordinate point v is a hull CORNER iff some other point b
+    has every remaining point strictly on one side of v->b, allowing
+    collinear points only BETWEEN v and b (collinear-beyond kills the
+    edge, which is exactly the strict-turn chain's corner set). Degenerate
+    clusters (<= 2 distinct coords) emit all their points. All cross/dot
+    arithmetic is exact on the query's dyadic lat grid + integral lons."""
+    return (
+        f"with lab as ({_dbscan_oracle_sql(hav)}), "
+        f"mem as (select l.pid, l.cluster, "
+        "floor(p2.lat * 64.0e0 + 0.5) / 64.0e0 as lat, p2.lon as lon "
+        f"from lab l join ({_PTS_SQL}) p2 on p2.pid = l.pid where l.cluster >= 0), "
+        "u as (select cluster, min(pid) as pid, lat, lon from mem "
+        "group by cluster, lat, lon), "
+        "sz as (select cluster, count(*) as n from u group by cluster), "
+        "small as (select u.cluster, u.pid, u.lat, u.lon from u "
+        "join sz on sz.cluster = u.cluster where sz.n <= 2), "
+        "cand as (select a.cluster, a.pid as vid, a.lat as vy, a.lon as vx, "
+        "b.lat as byy, b.lon as bxx from u a join u b on a.cluster = b.cluster "
+        "and (a.lat <> b.lat or a.lon <> b.lon)), "
+        "bad as (select distinct k.cluster, k.vid, k.byy, k.bxx "
+        "from cand k join u c on c.cluster = k.cluster "
+        "and (c.lat <> k.vy or c.lon <> k.vx) and (c.lat <> k.byy or c.lon <> k.bxx) "
+        "where not ( "
+        "(k.bxx - k.vx) * (c.lat - k.vy) - (k.byy - k.vy) * (c.lon - k.vx) > 0 "
+        "or ((k.bxx - k.vx) * (c.lat - k.vy) - (k.byy - k.vy) * (c.lon - k.vx) = 0 "
+        "and (c.lon - k.vx) * (k.bxx - k.vx) + (c.lat - k.vy) * (k.byy - k.vy) >= 0 "
+        "and (c.lon - k.vx) * (k.bxx - k.vx) + (c.lat - k.vy) * (k.byy - k.vy) <= "
+        "(k.bxx - k.vx) * (k.bxx - k.vx) + (k.byy - k.vy) * (k.byy - k.vy)))), "
+        "corner as (select distinct k.cluster, k.vid from cand k "
+        "left join bad d on d.cluster = k.cluster and d.vid = k.vid "
+        "and d.byy = k.byy and d.bxx = k.bxx where d.vid is null) "
+        "select c.cluster, c.vid as pid, u.lat, u.lon from corner c "
+        "join u on u.cluster = c.cluster and u.pid = c.vid "
+        "union all select cluster, pid, lat, lon from small"
+    )
+
+
 def _dbscan_oracle_sql(hav: str) -> str:
     """Textbook-sequential-free DBSCAN replay: brute-force eps pairs with
     the engine's haversine, core by neighbor count, clusters = recursive
@@ -2490,6 +2529,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dwell_s").cast("double").alias("dwell_s"),
         )
 
+    # --- cluster footprints: convex hull per DBSCAN cluster -------------------------
+    def q_cluster_hulls(spark, sf):
+        from osmgraft.operators.cluster import convex_hulls, dbscan
+
+        pts = _pts(spark, sf).select("pid", "lat", "lon")
+        lab = dbscan(pts, eps_m=_DBSCAN_EPS_M, min_pts=_DBSCAN_MIN_PTS)
+        # lats snap to a dyadic 1/64-deg grid: every cross product in the
+        # hull decisions is then EXACT in ieee doubles (lon is integral
+        # already), so the chain kernel and the oracle's edge test agree
+        # provably, not probabilistically
+        members = (
+            lab.where(F.col("cluster").isNotNull())
+            .select("pid", "cluster")
+            .join(pts, "pid")
+            .select(
+                "pid",
+                "cluster",
+                (F.floor(F.col("lat") * 64.0 + 0.5) / 64.0).alias("lat"),
+                "lon",
+            )
+        )
+        hull = convex_hulls(members)
+        return hull.select("cluster", "pid", "lat", "lon")
+
     # --- density clustering: distributed DBSCAN -------------------------------------
     def q_dbscan(spark, sf):
         from osmgraft.operators.cluster import dbscan
@@ -2563,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_candidates_topk": q_match_candidates,
         "viterbi_match": q_viterbi,
         "dbscan_clusters": q_dbscan,
+        "cluster_hulls": q_cluster_hulls,
         "sssp_6hop": q_sssp,
         "resample_track": q_resample,
         "geofence_events": q_geofence,
@@ -3197,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
         "match_candidates_topk": _match_cand_oracle_sql(),
         "viterbi_match": _viterbi_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(hav),
+        "cluster_hulls": _hull_oracle_sql(hav),
         "sssp_6hop": sssp_oracle_sql(
             "select doc_id % 500 as src, (doc_id * 13 + j * 97 + 7) % 500 as dst, "
             "(doc_id + j * 31) % 97 + 1 as w from documents "

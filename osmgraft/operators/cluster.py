@@ -108,3 +108,70 @@ def dbscan(
             F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
         )
     )
+
+
+def convex_hulls(
+    points: DataFrame,
+    group_col: str = "cluster",
+    id_col: str = "pid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Convex hull per group — the footprint polygon of a point cluster
+    (compose with :func:`dbscan` for "cluster outline" cartography, or
+    per admin area for coverage hulls).
+
+    Output: ``(group, seq, id, lat, lon)`` — hull CORNERS in counter-
+    clockwise order starting at the lexicographically smallest (lat, lon)
+    vertex; collinear boundary points are NOT corners (strict turns
+    only). Groups with 1 or 2 points emit their points as degenerate
+    hulls. Ties between coincident points break on ``id_col``.
+
+    Execution: Andrew's monotone chain per group (exact: the turn test is
+    one cross product — the same double expression any engine computes,
+    so the corner SET is engine-reproducible; the SQL oracle replays it
+    as the O(n^2 * n) hull-edge test per group, feasible at oracle scale).
+    One hash shuffle on the group key; each group decodes in one task —
+    the semantic minimum, and hull inputs are cluster-sized, not
+    corpus-sized. The mover-batched mapInPandas rail (see
+    operators/matching.py) applies verbatim if groups ever become tiny
+    and numerous.
+    """
+    import pandas as pd
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group_col].iloc[0]
+        pts = sorted(
+            zip(pdf[lat_col], pdf[lon_col], pdf[id_col]),
+            key=lambda t: (t[0], t[1], t[2]),
+        )
+        # dedupe coincident points (keep smallest id — sorted order)
+        seen, uniq = set(), []
+        for y, x, i in pts:
+            if (y, x) not in seen:
+                seen.add((y, x))
+                uniq.append((y, x, i))
+        if len(uniq) <= 2:
+            chain = uniq
+        else:
+            def cross(o, a, b):
+                return (a[1] - o[1]) * (b[0] - o[0]) - (a[0] - o[0]) * (b[1] - o[1])
+
+            lower = []
+            for p in uniq:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            upper = []
+            for p in reversed(uniq):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            chain = lower[:-1] + upper[:-1]
+        return pd.DataFrame(
+            [(g, s, i, y, x) for s, (y, x, i) in enumerate(chain)],
+            columns=[group_col, "seq", id_col, lat_col, lon_col],
+        )
+
+    schema = f"{group_col} long, seq int, {id_col} long, {lat_col} double, {lon_col} double"
+    return points.groupBy(group_col).applyInPandas(_hull, schema)

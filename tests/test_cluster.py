@@ -114,3 +114,104 @@ def test_matches_bruteforce_reference(spark, min_pts):
     df = _pts_df(spark, [(i, la, lo) for i, (la, lo) in pts.items()]).repartition(6)
     got = _collect(dbscan(df, eps_m=400.0, min_pts=min_pts))
     assert got == _ref_dbscan(pts, 400.0, min_pts)
+
+
+# --- convex hulls per group --------------------------------------------------
+
+
+def _hull_rows(spark, rows):
+    from osmgraft.operators.cluster import convex_hulls
+
+    df = spark.createDataFrame(rows, "cluster long, pid long, lat double, lon double")
+    out = convex_hulls(df).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["cluster"], []).append((r["seq"], r["pid"], r["lat"], r["lon"]))
+    return {g: [t[1:] for t in sorted(v)] for g, v in by_g.items()}
+
+
+def test_hull_square_collinear_and_interior(spark):
+    rows = [
+        (0, 1, 0.0, 0.0), (0, 2, 0.0, 4.0), (0, 3, 4.0, 4.0), (0, 4, 4.0, 0.0),
+        (0, 5, 0.0, 2.0),   # collinear edge midpoint: not a corner
+        (0, 6, 2.0, 2.0),   # interior
+    ]
+    got = _hull_rows(spark, rows)[0]
+    assert sorted(p for p, _, _ in got) == [1, 2, 3, 4]
+    assert got[0][1:] == (0.0, 0.0)  # starts at lexicographic min
+
+
+def test_hull_degenerate_groups(spark):
+    rows = [(1, 9, 5.0, 5.0), (2, 3, 1.0, 1.0), (2, 4, 2.0, 2.0)]
+    got = _hull_rows(spark, rows)
+    assert [p for p, _, _ in got[1]] == [9]
+    assert sorted(p for p, _, _ in got[2]) == [3, 4]
+
+
+def test_hull_duplicate_coords_min_id(spark):
+    rows = [(0, 7, 0.0, 0.0), (0, 5, 0.0, 0.0), (0, 8, 0.0, 3.0), (0, 9, 3.0, 0.0)]
+    got = _hull_rows(spark, rows)[0]
+    assert sorted(p for p, _, _ in got) == [5, 8, 9]
+
+
+def test_hull_matches_edge_test_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(3):
+        for i in range(40):
+            # dyadic grid: exact cross products in the reference too
+            rows.append(
+                (g, g * 100 + i, rng.randrange(-64, 65) / 8.0, rng.randrange(-64, 65) / 8.0)
+            )
+    got = _hull_rows(spark, rows)
+    for g in range(3):
+        pts = {pid: (la, lo) for gg, pid, la, lo in rows if gg == g}
+        uniq = {}
+        for pid in sorted(pts):
+            uniq.setdefault(pts[pid], pid)
+        coords = list(uniq)
+
+        def corner(v):
+            for b in coords:
+                if b == v:
+                    continue
+                ok = True
+                for c in coords:
+                    if c in (v, b):
+                        continue
+                    cr = (b[1] - v[1]) * (c[0] - v[0]) - (b[0] - v[0]) * (c[1] - v[1])
+                    if cr > 0:
+                        continue
+                    if cr == 0:
+                        dot = (c[1] - v[1]) * (b[1] - v[1]) + (c[0] - v[0]) * (b[0] - v[0])
+                        ln = (b[1] - v[1]) ** 2 + (b[0] - v[0]) ** 2
+                        if 0 <= dot <= ln:
+                            continue
+                    ok = False
+                    break
+                if ok:
+                    return True
+            return False
+
+        want = sorted(uniq[v] for v in coords if corner(v))
+        assert sorted(p for p, _, _ in got[g]) == want
+
+
+def test_hull_vertices_enclose_all_points(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(0, i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(200)]
+    got = _hull_rows(spark, rows)[0]
+    hull = [(la, lo) for _, la, lo in got]
+    n = len(hull)
+    assert n >= 3
+    # every input point on/inside the hull polygon (all cross signs one way)
+    for _, _, la, lo in rows:
+        signs = []
+        for i in range(n):
+            a, b = hull[i], hull[(i + 1) % n]
+            signs.append((b[1] - a[1]) * (la - a[0]) - (b[0] - a[0]) * (lo - a[1]))
+        assert all(s >= -1e-12 for s in signs) or all(s <= 1e-12 for s in signs)
