@@ -69,19 +69,26 @@ def geofence_events(
     )
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(fix_id).asc())
     lagged = base.withColumn("_prv", F.coalesce(F.lag("_cur").over(w), empty))
-    enters = lagged.select(
+    # ONE explode for both kinds: a union of two selects would execute the
+    # whole PIP+window subtree twice (visible in .explain as two copies)
+    tagged = F.concat(
+        F.transform(
+            F.array_except("_cur", "_prv"),
+            lambda p: F.struct(p.alias("p"), F.lit("enter").alias("e")),
+        ),
+        F.transform(
+            F.array_except("_prv", "_cur"),
+            lambda p: F.struct(p.alias("p"), F.lit("exit").alias("e")),
+        ),
+    )
+    return lagged.select(
+        user_col, ts_col, F.explode(tagged).alias("_ev")
+    ).select(
         user_col,
         ts_col,
-        F.explode(F.array_except("_cur", "_prv")).alias(poly_id),
-        F.lit("enter").alias("event"),
+        F.col("_ev.p").alias(poly_id),
+        F.col("_ev.e").alias("event"),
     )
-    exits = lagged.select(
-        user_col,
-        ts_col,
-        F.explode(F.array_except("_prv", "_cur")).alias(poly_id),
-        F.lit("exit").alias("event"),
-    )
-    return enters.unionByName(exits)
 
 
 def dwell_intervals(

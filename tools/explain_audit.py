@@ -892,6 +892,79 @@ def main() -> None:
         ("DBSCAN — checkpointed radius pairs + star-contracted components", p47, notes47)
     )
 
+    # 48. resample — ONE mover window exchange; the grid explode and the
+    # interpolation are map-side Catalyst (no joins, no Python).
+    q48 = entry_mod.queries()["resample_track"](spark, SF)
+    p48 = plan_of(q48)
+    notes48 = [
+        f"one wide exchange (the mover window): "
+        f"{len(re.findall(r'Arguments: hashpartitioning', p48)) == 1}",
+        f"zero join nodes: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p48)}",
+        f"grid explode map-side (Generate after the window, before any agg): "
+        f"{'Generate' in p48}",
+        f"pure Catalyst (no Python): {'Python' not in p48}",
+    ]
+    sections.append(("trajectory resampling — one window + map-side grid explode", p48, notes48))
+
+    # 49. spike filter — lag+lead legs share one mover sort; pure filter.
+    q49 = entry_mod.queries()["spike_filter"](spark, SF)
+    p49 = plan_of(q49)
+    notes49 = [
+        f"one wide exchange: {len(re.findall(r'Arguments: hashpartitioning', p49)) == 1}",
+        f"zero joins: "
+        f"{not re.search(r'(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|NestedLoop|Cartesian)', p49)}",
+        f"haversine legs in codegen (no Python): {'Python' not in p49}",
+    ]
+    sections.append(("GPS spike filter — one window, codegen haversine legs", p49, notes49))
+
+    # 50. geofence — broadcast PIP + set groupBy + mover window; enters and
+    # exits explode map-side from the set difference.
+    q50 = entry_mod.queries()["geofence_events"](spark, SF)
+    p50 = plan_of(q50)
+    # the broadcast PIP strategy IS a nested-loop against the tiny
+    # broadcast polygon side (25 rects) — bounded by the dim, by design;
+    # what must NOT appear is a second copy of the PIP+window subtree
+    # (one explode serves both event kinds)
+    n_bnlj50 = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p50))
+    n_win50 = len(re.findall(r"\(\d+\) Window", p50))
+    notes50 = [
+        f"exactly one nested-loop, against the broadcast fence dim: {n_bnlj50 == 1}",
+        f"no cartesian: {'Cartesian' not in p50}",
+        f"single PIP+window subtree (1 Window op, not 2): {n_win50 == 1}",
+        f"set-difference explode present: {'Generate' in p50}",
+    ]
+    sections.append(("geofence events — broadcast PIP + lagged set difference", p50, notes50))
+
+    # 51. SSSP round plan — the operator checkpoints each round, so the
+    # final frame's plan is just the checkpoint scan (lineage one round
+    # deep — itself the property). Audit ONE round's shape inline: relax
+    # join + min agg, both keyed on the node id.
+    e51 = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 40, (i % 9) + 1) for i in range(40)], "src long, dst long, w long"
+    )
+    d51 = spark.createDataFrame([(0,), (1,)], "id long").withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    relax51 = d51.join(e51, d51["id"] == e51["src"]).select(
+        F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+    )
+    q51 = d51.unionByName(relax51).groupBy("id").agg(F.min("dist").alias("dist"))
+    p51 = plan_of(q51)
+    notes51 = [
+        f"no cartesian/BNLJ in the round: "
+        f"{'Cartesian' not in p51 and 'BroadcastNestedLoopJoin' not in p51}",
+        f"min agg partially aggregated map-side: {'partial_min' in p51}",
+        # 'Python' appears in the local-data scan's RDD name
+        # (applySchemaToPythonRDD) — check for Python EVAL operators only
+        f"pure Catalyst (no Python eval operators): "
+        f"{not re.search(r'(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)', p51)}",
+        "final sssp() frame plans as a single checkpoint scan per round "
+        "(lineage stays O(1) deep across n_rounds — verified by the "
+        "operator's localCheckpoint call sites, graph.py)",
+    ]
+    sections.append(("SSSP round — co-partitioned relax join + map-side min", p51, notes51))
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit\n\n"
