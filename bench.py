@@ -438,6 +438,18 @@ def main() -> None:
     def q_dbscan():
         return _entry("dbscan_clusters")
 
+    def q_geofence():
+        return _entry("geofence_events")
+
+    def q_resample():
+        return _entry("resample_track")
+
+    def q_spike():
+        return _entry("spike_filter")
+
+    def q_sssp():
+        return _entry("sssp_6hop")
+
     def q_viterbi():
         # the oracled registry query pins a 60-fix trellis; the bench
         # scales the SAME generator to 2000 movers x 6 fixes over 100
@@ -524,6 +536,10 @@ def main() -> None:
         ("s2_compact", q_s2c),
         ("dbscan_clusters", q_dbscan),
         ("viterbi_match_12k", q_viterbi),
+        ("geofence_events", q_geofence),
+        ("resample_track", q_resample),
+        ("spike_filter", q_spike),
+        ("sssp_6hop", q_sssp),
         ("wav_decode_12k", q_wav_codec),
         ("png_decode_12k", q_png_codec),
         ("jpeg_decode_12k", q_jpeg_codec),
