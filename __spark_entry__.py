@@ -3275,7 +3275,8 @@ def oracle_sql() -> dict[str, str]:
         # dwell: lead-pairing of the geofence event stream per (user, poly)
         "dwell_intervals": (
             "with dw as (select user_id, poly_id, ts_s, event, "
-            "lead(ts_s) over (partition by user_id, poly_id order by ts_s asc) as nxt "
+            "lead(ts_s) over (partition by user_id, poly_id "
+            "order by ts_s asc, event desc) as nxt "
             f"from ({_GEOFENCE_SQL}) ev) "
             "select user_id, poly_id, ts_s as enter_s, "
             "cast(nxt as double) as exit_s, "

@@ -57,7 +57,10 @@ def geofence_events(
     per_fix = hits.groupBy(user_col, fix_id, ts_col).agg(
         F.sort_array(F.collect_set(poly_id)).alias("_cur")
     )
-    empty = F.array().cast("array<long>")
+    # empty set typed from the polygon frame, so string fence ids work too
+    from pyspark.sql.types import ArrayType
+
+    empty = F.array().cast(ArrayType(polygons.schema[poly_id].dataType))
     base = (
         slim.join(per_fix, [user_col, fix_id, ts_col], "left")
         .select(
@@ -104,8 +107,18 @@ def dwell_intervals(
     alternates enter/exit starting with enter (a set-difference
     transition can't repeat), so pairing is ONE window lead over
     (user, poly) — the partition key refines the event window's, no new
-    shuffle shape."""
-    w = Window.partitionBy(user_col, poly_id).orderBy(F.col(ts_col).asc())
+    shuffle shape.
+
+    Same-second ties: event timestamps are fix timestamps, so an exit
+    and a re-enter can share one second; the fix order behind them is
+    not in the event stream, so the pairing pins exits BEFORE enters on
+    ties (the closed-visit bias: an exit at second t closes the visit
+    opened earlier; the same-second enter opens the next). Deterministic
+    and oracle-replayed; sub-second fidelity needs sub-second
+    timestamps upstream."""
+    w = Window.partitionBy(user_col, poly_id).orderBy(
+        F.col(ts_col).asc(), F.col("event").desc()  # 'exit' > 'enter'
+    )
     nxt = F.lead(ts_col).over(w)
     return (
         events.withColumn("_next", nxt)

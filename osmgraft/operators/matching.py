@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from osmgraft.functions.cells import hex_cell_udf, hex_neighbors_expr
 from osmgraft.operators.knn import DEG_M, res_for_radius
-from osmgraft.operators.snap import _seg_cells_udf, point_segment_dist2
+from osmgraft.operators.snap import _seg_cells_udf, point_segment_proj
 
 _SCALE = 1_000_000_000.0  # fixed-point: 1e-9 cost units
 
@@ -110,7 +110,7 @@ def match_candidates(
         F.explode(hex_neighbors_expr(hex_cell_udf(res)(F.col("_py"), F.col("_px")), probe_k)),
     )
 
-    d2 = point_segment_dist2(
+    d2, tt = point_segment_proj(
         F.col("_py"), F.col("_px"), F.col("_y1"), F.col("_x1"), F.col("_y2"), F.col("_x2")
     )
     radius_deg2 = (radius_m / DEG_M) ** 2
@@ -122,17 +122,6 @@ def match_candidates(
         .where(F.col("_d2") <= F.lit(radius_deg2))
         .dropDuplicates(["_fid", "_sid"])
     )
-    # clamped projection parameter -> snapped point on the segment. Branch
-    # form (like point_segment_dist2) so no subterm inlines more than twice.
-    ax = (F.col("_x1") - F.col("_px")) * F.cos(F.radians("_py"))
-    ay = F.col("_y1") - F.col("_py")
-    bx = (F.col("_x2") - F.col("_px")) * F.cos(F.radians("_py"))
-    by = F.col("_y2") - F.col("_py")
-    dx = bx - ax
-    dy = by - ay
-    len2 = dx * dx + dy * dy
-    u = -(ax * dx + ay * dy)
-    tt = F.when(u <= 0, F.lit(0.0)).when(u >= len2, F.lit(1.0)).otherwise(u / len2)
     w = Window.partitionBy("_fid").orderBy("_d2", "_sid")
     return (
         cand.withColumn("_sy", F.col("_y1") + tt * (F.col("_y2") - F.col("_y1")))
@@ -236,28 +225,49 @@ def viterbi_match(
                     float(cl_a[a]),
                 )
             )
-        # DP state per candidate: (cost:int, path:tuple[int]) minimized
-        # under tuple order — exact ints make pruning == global argmin.
+        # DP with BACKPOINTERS — O(T * k) memory, not O(T^2 * k) path
+        # tuples. State per (step, candidate): (cost:int, prev_idx, sid,
+        # sy, sx). The (cost, path)-lexicographic tie-break is preserved:
+        # comparing p1+(s2,) vs p2+(s2,) equals comparing p1 vs p2, so
+        # ties resolve by materializing the two predecessor paths via a
+        # backpointer walk — paid ONLY on exact integer cost ties.
+        states: list = []
         _, cands0, _, _, _ = steps[0]
-        state = [(int(e), (int(s),), sy, sx) for s, sy, sx, e in cands0]
-        best_per_step = [state]
+        states.append([(int(e), -1, int(s), sy, sx) for s, sy, sx, e in cands0])
+
+        def path_of(i: int, j: int) -> tuple:
+            rev = []
+            while i >= 0:
+                c = states[i][j]
+                rev.append(c[2])
+                j = c[1]
+                i -= 1
+            return tuple(reversed(rev))
+
         for i in range(1, len(steps)):
             _, cands, _, _, _ = steps[i]
             py1, px1, cl1 = steps[i - 1][2], steps[i - 1][3], steps[i - 1][4]
             py2, px2 = steps[i][2], steps[i][3]
             nxt = []
             for s2, sy2, sx2, e2 in cands:
-                best = None
-                for c1, p1, sy1, sx1 in best_per_step[i - 1]:
+                bc, bj = None, -1
+                for j, (c1, _, _, sy1, sx1) in enumerate(states[i - 1]):
                     t = _trans_i(sy1, sx1, sy2, sx2, py1, px1, py2, px2, cl1, beta_deg)
                     cost = c1 + t + int(e2)
-                    key = (cost, p1 + (int(s2),))
-                    if best is None or key < best:
-                        best = key
-                nxt.append((best[0], best[1], sy2, sx2))
-            best_per_step.append(nxt)
-        final = min((c, p) for c, p, _, _ in best_per_step[-1])
-        path = final[1]
+                    if (
+                        bc is None
+                        or cost < bc
+                        or (cost == bc and path_of(i - 1, j) < path_of(i - 1, bj))
+                    ):
+                        bc, bj = cost, j
+                nxt.append((bc, bj, int(s2), sy2, sx2))
+            states.append(nxt)
+        last = len(steps) - 1
+        bj = min(
+            range(len(states[last])),
+            key=lambda j: (states[last][j][0], path_of(last, j)),
+        )
+        path = path_of(last, bj)
         for i, (ts, cands, _, _, _) in enumerate(steps):
             for s, sy, sx, _ in cands:
                 if int(s) == path[i]:

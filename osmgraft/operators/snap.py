@@ -53,6 +53,32 @@ from osmgraft.operators.knn import DEG_M, res_for_radius
 from osmgraft.operators.pip import _DISK1
 
 
+def point_segment_proj(
+    py: Column, px: Column, y1: Column, x1: Column, y2: Column, x2: Column
+) -> tuple[Column, Column]:
+    """(d2, tt): the exact squared point-segment distance AND the clamped
+    projection parameter, from ONE canonical set of subterms (see
+    point_segment_dist2's parenthesization note — this is the single
+    source the matcher, the snap join, and their SQL oracles must all
+    agree with; tt shares d2's subterms so Catalyst CSEs them)."""
+    c = F.cos(F.radians(py))
+    ax = (x1 - px) * c
+    ay = y1 - py
+    bx = (x2 - px) * c
+    by = y2 - py
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    u = -(ax * dx + ay * dy)
+    d2 = (
+        F.when(u <= 0, ax * ax + ay * ay)
+        .when(u >= len2, bx * bx + by * by)
+        .otherwise(F.greatest(F.lit(0.0), ax * ax + ay * ay - u * u / len2))
+    )
+    tt = F.when(u <= 0, F.lit(0.0)).when(u >= len2, F.lit(1.0)).otherwise(u / len2)
+    return d2, tt
+
+
 def point_segment_dist2(
     py: Column, px: Column, y1: Column, x1: Column, y2: Column, x2: Column
 ) -> Column:
@@ -72,20 +98,7 @@ def point_segment_dist2(
     (``u = -0.0 <= 0``), so the division is guarded; the perpendicular
     branch clamps at 0 so roundoff on on-segment points can't produce a
     negative d2 (and NaN after sqrt)."""
-    c = F.cos(F.radians(py))
-    ax = (x1 - px) * c
-    ay = y1 - py
-    bx = (x2 - px) * c
-    by = y2 - py
-    dx = bx - ax
-    dy = by - ay
-    len2 = dx * dx + dy * dy
-    u = -(ax * dx + ay * dy)
-    return (
-        F.when(u <= 0, ax * ax + ay * ay)
-        .when(u >= len2, bx * bx + by * by)
-        .otherwise(F.greatest(F.lit(0.0), ax * ax + ay * ay - u * u / len2))
-    )
+    return point_segment_proj(py, px, y1, x1, y2, x2)[0]
 
 
 def _seg_cells_udf(res: int):

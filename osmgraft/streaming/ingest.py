@@ -41,6 +41,29 @@ from pyspark.sql import DataFrame, SparkSession
 from osmgraft.schemas import DOCUMENTS
 
 
+
+def _duration_ms(text: str) -> int:
+    """Driver-side duration parse for the stateful operators' TTLs:
+    '24 hours' / '10 minutes' / '30 seconds' / bare milliseconds. Raises
+    a ValueError NAMING the accepted forms for anything else ('10s',
+    '2 min', ...) instead of an opaque KeyError inside an executor."""
+    qty, _, unit = text.partition(" ")
+    mult = {
+        "": 1, "ms": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }
+    u = unit.strip().lower()
+    try:
+        return int(float(qty) * mult[u])
+    except (KeyError, ValueError):
+        raise ValueError(
+            f"unsupported duration {text!r}: use '<number> <unit>' with unit "
+            "in ms/seconds/minutes/hours/days (or a bare millisecond count)"
+        ) from None
+
 def stream_documents(spark: SparkSession, path: str, max_files: int = 64) -> DataFrame:
     """File-source stream of interleaved documents (append-only directory)."""
     return (
@@ -217,15 +240,7 @@ def stream_dedup_first_seen(
     ttl_ms = None
     if state_ttl is not None:
         # "24 hours" / "10 minutes" / bare ms — parse driver-side once
-        qty, _, unit = state_ttl.partition(" ")
-        mult = {
-            "": 1, "ms": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit.strip().lower()]
-        ttl_ms = int(float(qty) * mult)
+        ttl_ms = _duration_ms(state_ttl)
 
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -386,15 +401,7 @@ def stream_sessionize(
     )
     ttl_ms = None
     if idle_flush is not None:
-        qty, _, unit = idle_flush.partition(" ")
-        mult = {
-            "": 1, "ms": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit.strip().lower()]
-        ttl_ms = int(float(qty) * mult)
+        ttl_ms = _duration_ms(idle_flush)
 
     from osmgraft.operators.sessions import _epoch_seconds
 
@@ -517,25 +524,19 @@ def stream_geofence(
 
     ttl_ms = None
     if state_ttl is not None:
-        qty, _, unit = state_ttl.partition(" ")
-        mult = {
-            "": 1, "ms": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit.strip().lower()]
-        ttl_ms = int(float(qty) * mult)
+        ttl_ms = _duration_ms(state_ttl)
 
-    rings = [
-        (int(pid), np.asarray(la, dtype=np.float64), np.asarray(lo, dtype=np.float64))
-        for pid, la, lo in fences
-    ]
+    # rings precompute their rolled (previous-vertex) copies ONCE — the
+    # even-odd loop is the per-fix hot path and the rolls are static
+    rings = []
+    for pid, la, lo in fences:
+        la = np.asarray(la, dtype=np.float64)
+        lo = np.asarray(lo, dtype=np.float64)
+        rings.append((int(pid), la, lo, np.roll(la, 1), np.roll(lo, 1)))
 
     def _inside_set(py: float, px: float) -> tuple:
         out = []
-        for pid, la, lo in rings:
-            lj, oj = np.roll(la, 1), np.roll(lo, 1)
+        for pid, la, lo, lj, oj in rings:
             cross = (la > py) != (lj > py)
             with np.errstate(divide="ignore", invalid="ignore"):
                 xs = (oj - lo) * (py - la) / (lj - la) + lo
